@@ -1,0 +1,168 @@
+"""Batched GLN-PSO: B independent swarms advancing in lockstep.
+
+The reference optimizer (TMVS/pso/psosolver.cpp) runs ONE swarm at a time
+and parallelizes over its ~10-30 particles with OpenMP. That shape wastes a
+TPU, so the batch axis here is the *patch* axis: state is ``[B, P, D]`` and
+a whole wavefront of patches optimizes per ``lax.scan`` step.
+
+Semantics matched to the reference:
+  * velocity update v <- iw*v + pw*r*(pBest-x) + gw*r*(gBest-x)
+    [+ lw*r*(lBest-x) + nw*r*(nBest-x) in GLN mode], one random scalar per
+    particle per term (psosolver.cpp:230-254), position clamped to bounds;
+  * lBest = best pBest among the localK nearest pBests (Euclidean,
+    psosolver.cpp:151-191); nBest = per-dimension fitness-distance-ratio
+    argmax (psosolver.cpp:193-218);
+  * early stop per swarm when both the dispersion index (mean |pos-gBest|)
+    and velocity index (mean |vel|) drop below the threshold
+    (psosolver.cpp:70-92, 295) — converged swarms freeze;
+  * inertia decays linearly by 1/maxIteration to 0.4 (psosolver.cpp:304);
+  * particle 0 can be seeded with the incumbent solution (setParticle).
+
+Unlike the reference's ``srand(time(NULL))`` (irreproducible by design),
+randomness is ``jax.random`` — deterministic per (seed, swarm).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PsoResult(NamedTuple):
+    gbest: jnp.ndarray        # [B, D]
+    gbest_fit: jnp.ndarray    # [B]
+    iterations: jnp.ndarray   # [B] int32 iterations actually run
+
+
+def _local_best(pbest, pbest_fit, local_k: int):
+    """lBest per particle: among the local_k nearest pBests (excluding
+    self), the one with minimum pBest fitness. pbest: [B, P, D]."""
+    d = pbest[:, :, None, :] - pbest[:, None, :, :]
+    dist2 = jnp.sum(d * d, axis=-1)                          # [B, P, P]
+    P = pbest.shape[1]
+    eye = jnp.eye(P, dtype=bool)
+    dist2 = jnp.where(eye[None], jnp.inf, dist2)
+    # indices of the local_k nearest neighbours
+    _, nidx = jax.lax.top_k(-dist2, local_k)                 # [B, P, K]
+    nfit = jnp.take_along_axis(pbest_fit[:, None, :].repeat(P, 1), nidx, axis=2)
+    best_k = jnp.argmin(nfit, axis=-1)                       # [B, P]
+    best_idx = jnp.take_along_axis(nidx, best_k[..., None], axis=-1)[..., 0]
+    return jnp.take_along_axis(
+        pbest, best_idx[..., None].repeat(pbest.shape[-1], -1), axis=1)
+
+
+def _fdr_best(pos, fit, pbest, pbest_fit):
+    """nBest per particle per dimension: argmax_j (fit_i - pbestFit_j) /
+    |pos_i[d] - pbest_j[d]| over j != i (psosolver.cpp:193-218)."""
+    B, P, D = pos.shape
+    num = fit[:, :, None] - pbest_fit[:, None, :]            # [B, P, P]
+    den = jnp.abs(pos[:, :, None, :] - pbest[:, None, :, :])  # [B, P, P, D]
+    fdr = num[..., None] / den                                # inf/-inf ok
+    fdr = jnp.where(jnp.isnan(fdr), -jnp.inf, fdr)
+    eye = jnp.eye(P, dtype=bool)[None, :, :, None]
+    fdr = jnp.where(eye, -jnp.inf, fdr)
+    jbest = jnp.argmax(fdr, axis=2)                           # [B, P, D]
+    return jnp.take_along_axis(pbest, jbest, axis=1)
+
+
+def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
+            particle_num: int, max_iteration: int,
+            enable_gln: bool = True,
+            convergence_threshold: float = 0.01,
+            iw: float = 0.8, pw: float = 1.2, gw: float = 1.5,
+            lw: float = 1.0, nw: float = 1.0, local_k: int = 5,
+            min_iw: float = 0.4) -> PsoResult:
+    """Run B swarms of ``particle_num`` particles for <= max_iteration steps.
+
+    Args:
+      fit_fn: pos [B, P, D] -> fitness [B, P] (lower is better).
+      range_l / range_u: [B, D] per-swarm bounds.
+      init: [B, D] incumbent seeded into particle 0 (pos and pBest), or None.
+      key: jax PRNG key.
+
+    Returns: PsoResult.
+    """
+    B, D = range_l.shape
+    P = particle_num
+    K = min(local_k, P)
+    inter = range_u - range_l
+
+    k_pos, k_vel, key = jax.random.split(key, 3)
+    pos = range_l[:, None] + inter[:, None] * jax.random.uniform(k_pos, (B, P, D))
+    vel = inter[:, None] * (2.0 * jax.random.uniform(k_vel, (B, P, D)) - 1.0)
+    if init is not None:
+        pos = pos.at[:, 0, :].set(init)
+
+    fit = fit_fn(pos)
+    pbest = pos
+    pbest_fit = fit
+    gi = jnp.argmin(pbest_fit, axis=-1)
+    gbest = jnp.take_along_axis(pbest, gi[:, None, None].repeat(D, -1), 1)[:, 0]
+    gbest_fit = jnp.take_along_axis(pbest_fit, gi[:, None], 1)[:, 0]
+
+    class Carry(NamedTuple):
+        pos: jnp.ndarray
+        vel: jnp.ndarray
+        fit: jnp.ndarray
+        pbest: jnp.ndarray
+        pbest_fit: jnp.ndarray
+        gbest: jnp.ndarray
+        gbest_fit: jnp.ndarray
+        iw: jnp.ndarray
+        done: jnp.ndarray
+        iters: jnp.ndarray
+
+    def step(c: Carry, it):
+        # convergence indices (psosolver.cpp:70-92)
+        disp = jnp.mean(jnp.abs(c.pos - c.gbest[:, None, :]), axis=(1, 2))
+        velix = jnp.mean(jnp.abs(c.vel), axis=(1, 2))
+        done = c.done | ((disp < convergence_threshold) &
+                         (velix < convergence_threshold))
+        active = ~done
+
+        kk = jax.random.fold_in(key, it)
+        kp, kg, kl, kn = jax.random.split(kk, 4)
+        rp = pw * jax.random.uniform(kp, (B, P, 1))
+        rg = gw * jax.random.uniform(kg, (B, P, 1))
+
+        dv = (rp * (c.pbest - c.pos) +
+              rg * (c.gbest[:, None, :] - c.pos))
+        if enable_gln:
+            rl = lw * jax.random.uniform(kl, (B, P, 1))
+            rn = nw * jax.random.uniform(kn, (B, P, 1))
+            lbest = _local_best(c.pbest, c.pbest_fit, K)
+            # FDR uses the particle's CURRENT fitness (psosolver.cpp:195)
+            nbest = _fdr_best(c.pos, c.fit, c.pbest, c.pbest_fit)
+            dv = dv + rl * (lbest - c.pos) + rn * (nbest - c.pos)
+
+        vel_new = c.iw[:, None, None] * c.vel + dv
+        pos_new = jnp.clip(c.pos + vel_new, range_l[:, None], range_u[:, None])
+
+        a3 = active[:, None, None]
+        pos2 = jnp.where(a3, pos_new, c.pos)
+        vel2 = jnp.where(a3, vel_new, c.vel)
+
+        f = fit_fn(pos2)
+        better = (f < c.pbest_fit) & active[:, None]
+        pbest2 = jnp.where(better[..., None], pos2, c.pbest)
+        pbest_fit2 = jnp.where(better, f, c.pbest_fit)
+
+        gi = jnp.argmin(pbest_fit2, axis=-1)
+        gfit2 = jnp.take_along_axis(pbest_fit2, gi[:, None], 1)[:, 0]
+        gb2 = jnp.take_along_axis(pbest2, gi[:, None, None].repeat(D, -1), 1)[:, 0]
+
+        iw2 = jnp.maximum(c.iw - 1.0 / max_iteration, min_iw)
+        iw2 = jnp.where(active, iw2, c.iw)
+
+        fit2 = jnp.where(active[:, None], f, c.fit)
+        return Carry(pos2, vel2, fit2, pbest2, pbest_fit2, gb2, gfit2, iw2,
+                     done, c.iters + active.astype(jnp.int32)), None
+
+    c0 = Carry(pos, vel, fit, pbest, pbest_fit, gbest, gbest_fit,
+               jnp.full((B,), iw, dtype=pos.dtype),
+               jnp.zeros((B,), dtype=bool),
+               jnp.zeros((B,), dtype=jnp.int32))
+    cf, _ = jax.lax.scan(step, c0, jnp.arange(max_iteration))
+    return PsoResult(cf.gbest, cf.gbest_fit, cf.iters)

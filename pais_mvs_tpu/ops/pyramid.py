@@ -1,0 +1,127 @@
+"""Image pyramid construction (host-side, numpy, done once per scene).
+
+Reproduces the reference camera's image preprocessing
+(TMVS/mvs/camera.cpp:62-92):
+
+* grayscale pyramid: level ``i`` is the level-0 image area-resampled by
+  ``lodRatio**i`` (OpenCV INTER_AREA), quantized back to uint8;
+* per-level "edge" image: Sobel (ksize=1) gradient magnitude, min-max
+  normalized to [0, 1];
+* ``maxLOD = log(max(w, h)) / log(1 / lodRatio)`` capped by config.
+
+The per-camera pyramids are packed into one padded device array
+``[num_cams, num_levels, Hmax, Wmax]`` so a single gather serves every
+(patch, view, level) access on the TPU. Padding is zero, which doubles as
+the reference's intensity-0 background convention.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    """uint8 RGB [H, W, 3] -> uint8 gray, BT.601 weights (OpenCV imread(,0))."""
+    if img.ndim == 2:
+        return img.astype(np.uint8)
+    g = (0.299 * img[..., 0].astype(np.float64)
+         + 0.587 * img[..., 1].astype(np.float64)
+         + 0.114 * img[..., 2].astype(np.float64))
+    return np.clip(np.round(g), 0, 255).astype(np.uint8)
+
+
+def _area_weights(n_in: int, n_out: int) -> np.ndarray:
+    """Row-stochastic [n_out, n_in] matrix implementing 1-D area
+    (box-overlap) resampling, the arbitrary-scale INTER_AREA rule."""
+    scale = n_in / n_out
+    W = np.zeros((n_out, n_in), dtype=np.float64)
+    for i in range(n_out):
+        lo = i * scale
+        hi = (i + 1) * scale
+        j0 = int(math.floor(lo))
+        j1 = min(int(math.ceil(hi)), n_in)
+        for j in range(j0, j1):
+            overlap = min(hi, j + 1) - max(lo, j)
+            if overlap > 0:
+                W[i, j] = overlap
+        W[i] /= W[i].sum()
+    return W
+
+
+def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Separable area resampling of a 2-D image (float64 out)."""
+    Wh = _area_weights(img.shape[0], out_h)
+    Ww = _area_weights(img.shape[1], out_w)
+    return Wh @ img.astype(np.float64) @ Ww.T
+
+
+def sobel_magnitude(img: np.ndarray) -> np.ndarray:
+    """Sobel ksize=1 gradient magnitude with reflect-101 borders, min-max
+    normalized to [0, 1] (TMVS/mvs/camera.cpp:71-91)."""
+    f = img.astype(np.float64)
+    p = np.pad(f, 1, mode="reflect")  # numpy 'reflect' == OpenCV reflect-101
+    gx = p[1:-1, 2:] - p[1:-1, :-2]
+    gy = p[2:, 1:-1] - p[:-2, 1:-1]
+    mag = np.sqrt(gx * gx + gy * gy)
+    lo, hi = mag.min(), mag.max()
+    if hi > lo:
+        return (mag - lo) / (hi - lo)
+    return np.zeros_like(mag)
+
+
+def max_lod_for(width: int, height: int, lod_ratio: float, cap: int) -> int:
+    """Ref: TMVS/mvs/camera.cpp:63-64."""
+    m = int(math.log(max(width, height)) / math.log(1.0 / lod_ratio))
+    return min(m, cap)
+
+
+def build_pyramid(gray0: np.ndarray, lod_ratio: float, max_lod: int):
+    """Build gray + edge pyramids for one image.
+
+    Returns (levels, edges, dims): lists of float32 arrays (gray quantized
+    to integer values like the reference's uchar pyramid) and [L, 2] dims
+    (h, w) per level.
+    """
+    h0, w0 = gray0.shape
+    levels, edges, dims = [], [], []
+    for i in range(max_lod + 1):
+        if i == 0:
+            g = gray0.astype(np.float64)
+        else:
+            s = lod_ratio ** i
+            oh = max(int(round(h0 * s)), 1)
+            ow = max(int(round(w0 * s)), 1)
+            g = np.clip(np.round(area_resize(gray0, oh, ow)), 0, 255)
+        levels.append(g.astype(np.float32))
+        edges.append(sobel_magnitude(g).astype(np.float32))
+        dims.append((g.shape[0], g.shape[1]))
+    return levels, edges, np.asarray(dims, dtype=np.int32)
+
+
+def pack_pyramids(per_cam_levels, per_cam_edges, per_cam_dims, num_levels):
+    """Pack ragged per-camera pyramids into padded arrays.
+
+    Args:
+      per_cam_levels / per_cam_edges: list (len C) of lists of 2-D float32.
+      per_cam_dims: list of [L_c, 2] int arrays.
+      num_levels: global L (>= every camera's level count).
+
+    Returns:
+      images [C, L, Hmax, Wmax] f32, edges likewise, dims [C, L, 2] int32
+      (zero-sized for levels a camera does not have).
+    """
+    C = len(per_cam_levels)
+    hmax = max(int(d[0, 0]) for d in per_cam_dims)
+    wmax = max(int(d[0, 1]) for d in per_cam_dims)
+    images = np.zeros((C, num_levels, hmax, wmax), dtype=np.float32)
+    edges = np.zeros((C, num_levels, hmax, wmax), dtype=np.float32)
+    dims = np.zeros((C, num_levels, 2), dtype=np.int32)
+    for c in range(C):
+        for l, (g, e) in enumerate(zip(per_cam_levels[c], per_cam_edges[c])):
+            h, w = g.shape
+            images[c, l, :h, :w] = g
+            edges[c, l, :h, :w] = e
+            dims[c, l] = (h, w)
+    return images, edges, dims

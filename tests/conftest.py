@@ -1,0 +1,35 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must set env before the first jax import anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_scene():
+    """Small synthetic 5-camera scene shared across tests."""
+    from pais_mvs_tpu.data.synthetic import make_scene
+    return make_scene(num_cams=5, width=200, height=150, num_seeds=40)
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    from pais_mvs_tpu.config import MvsConfig
+    return MvsConfig(patch_radius=5, max_lod=4, particle_num=8,
+                     max_iteration=12, batch_size=64,
+                     dist_weighting=5.0 / 3.0)
+
+
+@pytest.fixture(scope="session")
+def tiny_built(tiny_scene, tiny_cfg):
+    from pais_mvs_tpu.models.camera import build_scene
+    return build_scene(tiny_scene.params, tiny_scene.images, tiny_cfg)

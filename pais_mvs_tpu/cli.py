@@ -1,0 +1,156 @@
+"""Command-line driver, mirroring the reference TMVS modes
+(TMVS/TMVS.cpp:174-203):
+
+  python -m pais_mvs_tpu.cli -r scene.nvm[.nvm2|.mvs]   reconstruction
+  python -m pais_mvs_tpu.cli -f scene.mvs               post-filtering
+  python -m pais_mvs_tpu.cli -v scene.mvs               snapshot "viewer"
+
+Config resolution matches the reference: compiled defaults
+(TMVS.cpp:26-52) overridden by ./config.txt if present (TMVS.cpp:178),
+re-applied after an .mvs load (TMVS.cpp:92). Staged artifacts
+(init/seed/exp.mvs, exp.ply, exp.psr, PMVS/PCMVS filter dumps) keep the
+reference's names so downstream tooling is drop-in.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from pais_mvs_tpu.config import MvsConfig, load_config_txt
+from pais_mvs_tpu.engine.reconstructor import Reconstructor
+from pais_mvs_tpu.io import nvm as nvm_io
+from pais_mvs_tpu.io import mvsbin
+from pais_mvs_tpu.io.pointcloud import write_ply
+
+CONFIG_FILE_NAME = "config.txt"
+
+
+def _load_images(params, base_dir):
+    from PIL import Image
+    images = []
+    for p in params:
+        path = p.file_name
+        if not os.path.isabs(path):
+            path = os.path.join(base_dir, path)
+        img = np.asarray(Image.open(path).convert("RGB"))
+        images.append(img)
+    return images
+
+
+def _resolve_config(base: MvsConfig | None = None) -> MvsConfig:
+    cfg = base or MvsConfig()
+    if os.path.exists(CONFIG_FILE_NAME):
+        cfg = load_config_txt(CONFIG_FILE_NAME, cfg)
+    return cfg
+
+
+def _build_reconstructor(path: str, out_dir: str) -> Reconstructor:
+    ext = path.rsplit(".", 1)[-1].lower()
+    base_dir = os.path.dirname(os.path.abspath(path))
+    if ext in ("nvm", "nvm2"):
+        data = nvm_io.load_nvm(path, nvm2=(ext == "nvm2"))
+        cfg = _resolve_config()
+        images = _load_images(data.cameras, base_dir)
+        rec = Reconstructor(data.cameras, images, cfg)
+        if len(data.centers):
+            widths = [img.shape[1] for img in images]
+            heights = [img.shape[0] for img in images]
+            ipts = nvm_io.decenter_image_points(data, widths, heights)
+            rec.load_seeds(data.centers, data.cam_masks, ipts, data.colors)
+    elif ext == "mvs":
+        f = mvsbin.read_mvs(path)
+        cfg = _resolve_config(f.config)
+        images = _load_images(f.cameras, base_dir)
+        rec = Reconstructor(f.cameras, images, cfg)
+        if len(f.patches.centers):
+            rec.load_seeds_from_mvs(f.patches)
+    else:
+        raise SystemExit(f"unsupported input: {path}")
+    return rec
+
+
+def run_reconstruct(path: str, out_dir: str = ".") -> None:
+    rec = _build_reconstructor(path, out_dir)
+    j = lambda n: os.path.join(out_dir, n)
+    t0 = time.time()
+    rec.write_mvs(j("init.mvs"))
+    rec.refine_seeds()
+    rec.write_mvs(j("seed.mvs"))
+    rec.expand(autosave_path=j("auto_save.mvs"))
+    rec.write_mvs(j("exp.mvs"))
+    rec.write_ply(j("exp.ply"))
+    rec.write_psr(j("exp.psr"))
+    print(f"time1\t{time.time() - t0:f}")
+
+
+def run_filter(path: str, out_dir: str = ".") -> None:
+    if not path.endswith(".mvs"):
+        print("filtering only mvs file")
+        return
+    rec = _build_reconstructor(path, out_dir)
+    rec.adopt_loaded_patches()
+    j = lambda n: os.path.join(out_dir, n)
+    t0 = time.time()
+    rec.cell_filtering()
+    rec.write_mvs(j("PMVS_filter1.mvs")); rec.write_ply(j("PMVS_filter1.ply"))
+    rec.visibility_filtering()
+    rec.write_mvs(j("PMVS_filter2.mvs")); rec.write_ply(j("PMVS_filter2.ply"))
+    rec.neighbor_cell_filtering(0.25)
+    rec.write_mvs(j("PMVS_filter3.mvs")); rec.write_ply(j("PMVS_filter3.ply"))
+    rec.write_mvs(j("PMVS_filter_deleted.mvs"), deleted=True)
+    rec.write_ply(j("PMVS_filter_deleted.ply"), deleted=True)
+    rec.arena.deleted_ids.clear()
+    rec.neighbor_patch_filtering(0.25)
+    rec.write_mvs(j("PCMVS_filter.mvs")); rec.write_ply(j("PCMVS_filter.ply"))
+    rec.write_mvs(j("PCMVS_filter_deleted.mvs"), deleted=True)
+    rec.write_ply(j("PCMVS_filter_deleted.ply"), deleted=True)
+    print(f"time1\t{time.time() - t0:f}")
+
+
+def run_view(path: str, out_dir: str = ".") -> None:
+    """Offline replacement for the PCL viewer: dump a PLY snapshot + stats
+    (interactive parity is out of scope; PLY opens in MeshLab as the
+    reference README suggests)."""
+    f = mvsbin.read_mvs(path)
+    p = f.patches
+    st = np.sin(p.normal_sph[:, 0])
+    normals = np.stack([st * np.cos(p.normal_sph[:, 1]),
+                        st * np.sin(p.normal_sph[:, 1]),
+                        np.cos(p.normal_sph[:, 0])], -1)
+    out = os.path.join(out_dir, "view_snapshot.ply")
+    write_ply(out, p.centers, normals,
+              np.full((len(p.centers), 3), 200.0))
+    print(f"cameras: {len(f.cameras)}  patches: {len(p.centers)}")
+    print(f"fitness: mean {p.fitness.mean():.4f}  "
+          f"correlation: mean {p.correlation.mean():.4f}")
+    print(f"wrote {out}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="pais-mvs-tpu",
+        description="TPU-native patch-based multi-view stereo")
+    ap.add_argument("-r", metavar="FILE", help="reconstruct (.nvm/.nvm2/.mvs)")
+    ap.add_argument("-f", metavar="FILE", help="post-filter (.mvs)")
+    ap.add_argument("-v", metavar="FILE", help="snapshot view (.mvs)")
+    ap.add_argument("-o", "--out-dir", default=".", help="output directory")
+    args = ap.parse_args(argv)
+    if args.r:
+        run_reconstruct(args.r, args.out_dir)
+    elif args.f:
+        run_filter(args.f, args.out_dir)
+    elif args.v:
+        run_view(args.v, args.out_dir)
+    else:
+        ap.print_help()
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

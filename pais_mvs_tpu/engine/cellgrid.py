@@ -1,0 +1,59 @@
+"""Per-camera cell grids: the spatial index driving expansion & filtering.
+
+Ref: CellMap (TMVS/mvs/cellmap.{h,cpp}) — a ceil(img/cellSize) grid of
+patch-id buckets per camera. Host-side structure (the heavy math stays on
+device); buckets are unbounded like the reference's vectors — the
+``maxCellPatchNum`` cap is enforced by the expansion/filter logic, not by
+the container.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+class CellGrids:
+    def __init__(self, widths, heights, cell_size: int):
+        self.cell_size = cell_size
+        self.width = [int(math.ceil(w / cell_size)) for w in widths]
+        self.height = [int(math.ceil(h / cell_size)) for h in heights]
+        self.cells: Dict[Tuple[int, int, int], List[int]] = {}
+
+    def in_map(self, cam: int, cx: int, cy: int) -> bool:
+        return 0 <= cx < self.width[cam] and 0 <= cy < self.height[cam]
+
+    def cell(self, cam: int, cx: int, cy: int) -> List[int]:
+        return self.cells.get((cam, cx, cy), [])
+
+    def cell_of(self, img_point) -> Tuple[int, int]:
+        return (int(img_point[0] / self.cell_size),
+                int(img_point[1] / self.cell_size))
+
+    def insert(self, cam: int, cx: int, cy: int, pid: int) -> None:
+        self.cells.setdefault((cam, cx, cy), []).append(pid)
+
+    def insert_patch(self, pid: int, cam_mask, img_points) -> None:
+        for cam in np.nonzero(cam_mask)[0]:
+            cx, cy = self.cell_of(img_points[cam])
+            if self.in_map(cam, cx, cy):
+                self.insert(int(cam), cx, cy, int(pid))
+
+    def remove_patch(self, pid: int, cam_mask, img_points) -> None:
+        for cam in np.nonzero(cam_mask)[0]:
+            cx, cy = self.cell_of(img_points[cam])
+            lst = self.cells.get((int(cam), cx, cy))
+            if lst and pid in lst:
+                lst.remove(pid)
+
+    @staticmethod
+    def build(arena, widths, heights, cell_size: int) -> "CellGrids":
+        """MVS::setCellMaps (mvs.cpp:116-133): project every live patch into
+        its visible cameras' grids."""
+        g = CellGrids(widths, heights, cell_size)
+        for pid in arena.live_ids():
+            g.insert_patch(int(pid), arena.data["cam_mask"][pid],
+                           arena.data["img_point"][pid])
+        return g

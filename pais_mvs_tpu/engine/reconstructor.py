@@ -1,0 +1,543 @@
+"""The reconstruction engine: batched seed refinement, wavefront expansion
+over the cell grids, and post-filtering.
+
+Inversion of the reference's control flow (SURVEY.md §7): instead of a
+serial priority queue popping ONE patch and running ONE swarm
+(MVS::expansionPatches, TMVS/mvs/mvs.cpp:233-275), each round takes the
+best-priority frontier slice, generates ALL its cell-expansion candidates,
+and refines them in one batched device program. Ordering-sensitive cell
+capacity semantics are enforced host-side in parent-priority order, so
+``wavefront_size=1`` degenerates to the reference's best-first behaviour.
+
+Division of labour: the device owns all pixel math (PSO/fitness/NCC/LOD);
+the host owns the ragged bookkeeping (arena, cell buckets, frontier).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pais_mvs_tpu.config import MvsConfig
+from pais_mvs_tpu.engine.arena import PatchArena
+from pais_mvs_tpu.engine.cellgrid import CellGrids
+from pais_mvs_tpu.models import patch as patch_mod
+from pais_mvs_tpu.models.camera import CameraParams, Scene, build_scene
+from pais_mvs_tpu.models.patch import PatchBatch
+from pais_mvs_tpu.ops import lifecycle as lc
+from pais_mvs_tpu.io.mvsbin import MvsPatchData, write_mvs
+from pais_mvs_tpu.io.pointcloud import write_ply, write_psr
+
+
+class Reconstructor:
+    def __init__(self, params: Sequence[CameraParams],
+                 images: Sequence[np.ndarray], cfg: MvsConfig,
+                 verbose: bool = True):
+        self.cfg = cfg
+        self.params = list(params)
+        self.verbose = verbose
+        self.scene: Scene = build_scene(params, images, cfg)
+        self.widths = [img.shape[1] for img in images]
+        self.heights = [img.shape[0] for img in images]
+        C = self.scene.num_cameras
+        self.arena = PatchArena(C)
+        self.grids: Optional[CellGrids] = None
+        self.neighbor_radius = cfg.neighbor_radius
+        self.key = jax.random.PRNGKey(cfg.rng_seed)
+        # host copies of rig data for cheap bookkeeping math
+        rig = self.scene.rig
+        self.np_center = np.asarray(rig.center, dtype=np.float64)
+        self.np_optical = np.asarray(rig.optical, dtype=np.float64)
+        self.np_R = np.asarray(rig.R, dtype=np.float64)
+        self.np_focal = np.asarray(rig.focal, dtype=np.float64)
+        self.np_principal = np.asarray(rig.principal, dtype=np.float64)
+        self.stats: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # logging
+    # ------------------------------------------------------------------
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg, flush=True)
+
+    # ------------------------------------------------------------------
+    # seeds
+    # ------------------------------------------------------------------
+    def load_seeds(self, centers: np.ndarray, cam_masks: np.ndarray,
+                   img_points: np.ndarray, colors: np.ndarray | None = None,
+                   retriangulate: bool = True) -> None:
+        """Ingest sparse points (pixel-coordinate measurements) and
+        re-triangulate them (MVS::reCentering, mvs.cpp:135-145)."""
+        B = len(centers)
+        C = self.scene.num_cameras
+        pb = patch_mod.from_seeds(centers, cam_masks, img_points, colors)
+        if retriangulate:
+            pb = lc.prepare_seeds(self.scene, self.cfg, pb)
+        else:
+            import pais_mvs_tpu.ops.geometry as geom
+            normal = geom.estimated_normal(
+                pb.center, self.scene.rig.center[None].repeat(B, 0),
+                pb.cam_mask)
+            pb = pb.replace(normal_sph=geom.normal_to_spherical(normal))
+        self._seed_pb = jax.device_get(pb)
+        self._seed_colors = colors
+
+    def _rehydrate(self, patches) -> PatchBatch:
+        """Rebuild derived patch state from an .mvs checkpoint's
+        (center, normal, cams, fitness, correlation) tuples."""
+        B = len(patches.centers)
+        C = self.scene.num_cameras
+        pb = patch_mod.empty_batch(B, C)
+        pb = pb.replace(
+            center=jnp.asarray(patches.centers, dtype=jnp.float32),
+            normal_sph=jnp.asarray(patches.normal_sph, dtype=jnp.float32),
+            cam_mask=jnp.asarray(patches.cam_masks),
+            fitness=jnp.asarray(patches.fitness, dtype=jnp.float32),
+            correlation=jnp.asarray(patches.correlation, dtype=jnp.float32),
+            valid=jnp.ones(B, dtype=bool),
+            is_seed=jnp.ones(B, dtype=bool))
+        return jax.device_get(lc.rehydrate_batch(
+            self.scene, self.cfg, pb, jnp.float32(self.neighbor_radius)))
+
+    def load_seeds_from_mvs(self, patches) -> None:
+        """Resume reconstruction from an .mvs checkpoint (the reference's
+        -r path for .mvs inputs, TMVS.cpp:87-88)."""
+        self._seed_pb = self._rehydrate(patches)
+
+    def adopt_loaded_patches(self) -> None:
+        """Adopt checkpoint patches as the final set (the -f path,
+        TMVS.cpp:131-136)."""
+        out = self._seed_pb
+        keep = np.asarray(out.valid)
+        self._append_to_arena(out, keep, is_seed=True)
+        self._update_neighbor_radius()
+
+    def refine_seeds(self) -> int:
+        """Batched MVS::refineSeedPatches (mvs.cpp:196-231). Returns the
+        number of accepted seed patches."""
+        pb = self._seed_pb
+        B = pb.center.shape[0]
+        # neighborRadius from the raw seed cloud (reference computes it
+        # before refining, mvs.cpp:202)
+        ext = pb.center.max(0) - pb.center.min(0)
+        vol = float(abs(ext[0] * ext[1] * ext[2]))
+        if vol > 0:
+            self.neighbor_radius = (vol ** (1. / 3.)
+                                    * self.cfg.neighbor_radius_scalar)
+        t0 = time.time()
+        out, iters = self._refine_all(pb, is_seed=True,
+                                      rounds=self.cfg.seed_refine_rounds)
+        keep = np.asarray(out.valid)
+        n = int(keep.sum())
+        self._append_to_arena(out, keep, is_seed=True)
+        self._update_neighbor_radius()
+        self.stats["seed_refine_s"] = time.time() - t0
+        self.stats["seed_accepted"] = n
+        self._log(f"seeds: {n}/{B} accepted in {time.time()-t0:.2f}s "
+                  f"(neighborRadius {self.neighbor_radius:.5f})")
+        return n
+
+    # ------------------------------------------------------------------
+    # device batching
+    # ------------------------------------------------------------------
+    def _refine_all(self, pb: PatchBatch, is_seed: bool, rounds: int):
+        """Refine an arbitrary-size batch in fixed-shape chunks."""
+        cfg = self.cfg
+        B = pb.center.shape[0]
+        bs = cfg.batch_size
+        pad = (-B) % bs
+        if pad:
+            filler = patch_mod.take(pb, np.zeros(pad, dtype=np.int64))
+            filler = filler.replace(valid=np.zeros(pad, dtype=bool))
+            pb = patch_mod.concat(jax.device_get(pb), jax.device_get(filler))
+        outs, its = [], []
+        total = B + pad
+        for s in range(0, total, bs):
+            chunk = patch_mod.take(pb, np.arange(s, s + bs))
+            chunk = jax.tree.map(jnp.asarray, chunk)
+            self.key, sub = jax.random.split(self.key)
+            res = lc.refine_batch(self.scene, cfg, chunk, sub,
+                                  jnp.float32(self.neighbor_radius),
+                                  is_seed, rounds)
+            outs.append(jax.device_get(res.batch))
+            its.append(np.asarray(res.iterations))
+        merged = jax.tree.map(lambda *xs: np.concatenate(xs, 0)[:B], *outs)
+        return merged, np.concatenate(its)[:B]
+
+    def _append_to_arena(self, out: PatchBatch, keep: np.ndarray,
+                         is_seed: bool) -> np.ndarray:
+        idx = np.nonzero(keep)[0]
+        if len(idx) == 0:
+            return np.zeros(0, dtype=np.int64)
+        ids = self.arena.append(
+            center=np.asarray(out.center)[idx],
+            normal_sph=np.asarray(out.normal_sph)[idx],
+            cam_mask=np.asarray(out.cam_mask)[idx],
+            ref_cam=np.asarray(out.ref_cam)[idx],
+            depth=np.asarray(out.depth)[idx],
+            lod=np.asarray(out.lod)[idx],
+            fitness=np.asarray(out.fitness)[idx],
+            correlation=np.asarray(out.correlation)[idx],
+            priority=np.asarray(out.priority)[idx],
+            color=np.asarray(out.color)[idx],
+            img_point=np.asarray(out.img_point)[idx],
+            is_seed=np.full(len(idx), is_seed),
+        )
+        return ids
+
+    def _update_neighbor_radius(self):
+        nr = self.arena.neighbor_radius(self.cfg.neighbor_radius_scalar)
+        if nr > 0:
+            self.neighbor_radius = nr
+
+    # ------------------------------------------------------------------
+    # expansion
+    # ------------------------------------------------------------------
+    def _is_neighbor(self, c1, n1, c2, n2) -> np.ndarray:
+        """Plane-to-plane distance test (Patch::isNeighbor, patch.cpp:6-23).
+        Vectorized over leading dims of c2/n2."""
+        d = c2 - c1
+        dist = np.abs(d @ n1) + np.abs(np.sum(d * n2, axis=-1))
+        return dist <= self.neighbor_radius
+
+    def _skip_neighbor_cell(self, occupants: List[int], parent_id: int) -> bool:
+        """MVS::skipNeighborCell (mvs.cpp:792-807)."""
+        cfg = self.cfg
+        a = self.arena
+        if len(occupants) >= cfg.max_cell_patch_num:
+            return True
+        if not occupants:
+            return False
+        occ = np.asarray(occupants)
+        occ = occ[a.alive[occ]]
+        if len(occ) == 0:
+            return False
+        if np.any(a.data["correlation"][occ] > cfg.min_correlation):
+            return True
+        c1 = a.data["center"][parent_id]
+        n1 = self.arena.normals([parent_id])[0]
+        c2 = a.data["center"][occ]
+        n2 = self.arena.normals(occ)
+        return bool(np.any(self._is_neighbor(c1, n1, c2, n2)))
+
+    def _expansion_centers(self, cams, cxs, cys, parent_ids) -> np.ndarray:
+        """Ray through each cell center intersected with the parent plane
+        (MVS::getExpansionPatchCenter, mvs.cpp:809-836). Vectorized."""
+        cfg = self.cfg
+        cams = np.asarray(cams)
+        px = (np.asarray(cxs) + 0.5) * cfg.cell_size
+        py = (np.asarray(cys) + 0.5) * cfg.cell_size
+        f = self.np_focal[cams]
+        pp = self.np_principal[cams]
+        d_cam = np.stack([(px - pp[:, 0]) / f[:, 0],
+                          (py - pp[:, 1]) / f[:, 1],
+                          np.ones_like(px)], axis=-1)
+        R = self.np_R[cams]
+        v12 = np.einsum("nji,nj->ni", R, d_cam)       # R^T d (at depth 1)
+        cc = self.np_center[cams]
+        pc = self.arena.data["center"][parent_ids]
+        pn = self.arena.normals(parent_ids)
+        u = np.sum(pn * (pc - cc), axis=-1) / np.sum(pn * v12, axis=-1)
+        return cc + u[:, None] * v12
+
+    def _expand_visible_cameras(self, normals: np.ndarray,
+                                parent_masks: np.ndarray) -> np.ndarray:
+        """Patch::expandVisibleCamera (patch.cpp:723-761)."""
+        cfg = self.cfg
+        facing = -normals @ self.np_optical.T          # [N, C]
+        mask = facing >= cfg.visible_correlation
+        lacking = mask.sum(axis=1) < cfg.min_cam_num
+        fallback = parent_masks & (facing >= cfg.visible_correlation / 2.0)
+        mask[lacking] |= fallback[lacking]
+        return mask
+
+    def _insert_time_cell_filter(self, cam_mask, img_points) -> bool:
+        """The cell-density clause of MVS::runtimeFiltering
+        (mvs.cpp:877-895) applied at insertion time: reject when EVERY
+        visible view's target cell is already full."""
+        cfg = self.cfg
+        full = 0
+        cams = np.nonzero(cam_mask)[0]
+        for cam in cams:
+            cx, cy = self.grids.cell_of(img_points[cam])
+            occ = self.grids.cell(int(cam), cx, cy)
+            if len(occ) >= cfg.max_cell_patch_num:
+                full += 1
+        return full < len(cams)
+
+    def expand(self, max_rounds: int = 10_000,
+               autosave_path: Optional[str] = None) -> int:
+        """Wavefront expansion (MVS::expansionPatches, mvs.cpp:233-275).
+        Returns total patch count."""
+        cfg = self.cfg
+        a = self.arena
+        self.grids = CellGrids.build(a, self.widths, self.heights,
+                                     cfg.cell_size)
+        self._update_neighbor_radius()
+        t0 = time.time()
+        total_refined = 0
+        for rnd in range(max_rounds):
+            frontier = a.live_ids()
+            frontier = frontier[~a.expanded[frontier]]
+            if len(frontier) == 0:
+                break
+            # best-first: lowest priority first (mvs.cpp:656-693)
+            order = np.argsort(a.data["priority"][frontier], kind="stable")
+            parents = frontier[order][:cfg.wavefront_size]
+            a.expanded[parents] = True
+
+            # candidate generation over 4-neighbour cells of every view
+            cand_parent, cand_cam, cand_cx, cand_cy = [], [], [], []
+            seen_cells = {}
+            for pid in parents:
+                mask = a.data["cam_mask"][pid]
+                ipts = a.data["img_point"][pid]
+                for cam in np.nonzero(mask)[0]:
+                    cam = int(cam)
+                    cx, cy = self.grids.cell_of(ipts[cam])
+                    for nx, ny in ((cx - 1, cy), (cx, cy - 1),
+                                   (cx + 1, cy), (cx, cy + 1)):
+                        if not self.grids.in_map(cam, nx, ny):
+                            continue
+                        occ = self.grids.cell(cam, nx, ny)
+                        if self._skip_neighbor_cell(occ, int(pid)):
+                            continue
+                        key = (cam, nx, ny)
+                        cnt = seen_cells.get(key, len(occ))
+                        if cnt >= cfg.max_cell_patch_num:
+                            continue
+                        seen_cells[key] = cnt + 1
+                        cand_parent.append(int(pid))
+                        cand_cam.append(cam)
+                        cand_cx.append(nx)
+                        cand_cy.append(ny)
+            if not cand_parent:
+                continue
+
+            centers = self._expansion_centers(cand_cam, cand_cx, cand_cy,
+                                              cand_parent)
+            normals = self.arena.normals(cand_parent)
+            masks = self._expand_visible_cameras(
+                normals, a.data["cam_mask"][cand_parent])
+            ok = masks.sum(axis=1) >= cfg.min_cam_num
+            ok &= np.all(np.isfinite(centers), axis=1)
+            if not ok.any():
+                continue
+            centers, normals, masks = centers[ok], normals[ok], masks[ok]
+            parents_kept = np.asarray(cand_parent)[ok]
+
+            N = len(centers)
+            C = self.scene.num_cameras
+            pb = patch_mod.empty_batch(N, C)
+            sph = np.stack([np.arccos(np.clip(normals[:, 2], -1, 1)),
+                            np.arctan2(normals[:, 1], normals[:, 0])], -1)
+            pb = pb.replace(
+                center=jnp.asarray(centers, dtype=jnp.float32),
+                normal_sph=jnp.asarray(sph, dtype=jnp.float32),
+                cam_mask=jnp.asarray(masks),
+                valid=jnp.ones(N, dtype=bool))
+            out, iters = self._refine_all(jax.device_get(pb), is_seed=False,
+                                          rounds=1)
+            total_refined += N
+            keep = np.asarray(out.valid)
+
+            # sequential insert in parent-priority order with the cell-
+            # density clause (cells fill as we insert)
+            order = np.argsort(a.data["priority"][parents_kept], kind="stable")
+            out_np = out
+            inserted = 0
+            for i in order:
+                if not keep[i]:
+                    continue
+                cm = np.asarray(out_np.cam_mask)[i]
+                ip = np.asarray(out_np.img_point)[i]
+                if not self._insert_time_cell_filter(cm, ip):
+                    continue
+                ids = self._append_to_arena(
+                    jax.tree.map(lambda x: np.asarray(x)[i:i + 1], out_np),
+                    np.ones(1, dtype=bool), is_seed=False)
+                self.grids.insert_patch(int(ids[0]), cm, ip)
+                inserted += 1
+            self._log(f"round {rnd}: {len(parents)} parents -> {N} candidates"
+                      f" -> {inserted} inserted (total {len(a.live_ids())})")
+            if autosave_path and rnd % 10 == 9:
+                self.write_mvs(autosave_path)
+        self._update_neighbor_radius()
+        self.stats["expansion_s"] = time.time() - t0
+        self.stats["expansion_refined"] = total_refined
+        return len(a.live_ids())
+
+    # ------------------------------------------------------------------
+    # post filters (MVS::cellFiltering / visibilityFiltering /
+    # neighborCellFiltering / neighborPatchFiltering, mvs.cpp:279-525)
+    # ------------------------------------------------------------------
+    def _ensure_grids(self):
+        if self.grids is None:
+            self._update_neighbor_radius()
+            self.grids = CellGrids.build(self.arena, self.widths,
+                                         self.heights, self.cfg.cell_size)
+
+    def _delete(self, pid: int):
+        a = self.arena
+        if self.grids is not None:
+            self.grids.remove_patch(int(pid), a.data["cam_mask"][pid],
+                                    a.data["img_point"][pid])
+        a.delete(pid)
+
+    def cell_filtering(self) -> int:
+        """PMVS outlier rule: drop patch j in a cell when
+        corr_j * camNum_j < sum of cellmates' correlations (mvs.cpp:279-325)."""
+        self._ensure_grids()
+        a = self.arena
+        removed = 0
+        for key in sorted(self.grids.cells.keys()):
+            occ = [p for p in self.grids.cells[key] if a.alive[p]]
+            if len(occ) < 2:
+                continue
+            corr = a.data["correlation"][occ]
+            camn = a.data["cam_mask"][occ].sum(axis=1)
+            tot = corr.sum()
+            kill = [p for p, c, k in zip(occ, corr, camn)
+                    if c * k < tot - c]
+            for p in kill:
+                self._delete(p)
+                removed += 1
+        self._log(f"cellFiltering removed {removed}")
+        return removed
+
+    def visibility_filtering(self) -> int:
+        """Depth-ordering consistency per view (mvs.cpp:399-446)."""
+        self._ensure_grids()
+        a = self.arena
+        cfg = self.cfg
+        removed = 0
+        for pid in a.live_ids():
+            mask = a.data["cam_mask"][pid]
+            ipts = a.data["img_point"][pid]
+            center = a.data["center"][pid]
+            cams = np.nonzero(mask)[0]
+            visible = len(cams)
+            for cam in cams:
+                cam = int(cam)
+                depth = np.linalg.norm(center - self.np_center[cam])
+                cx, cy = self.grids.cell_of(ipts[cam])
+                for q in self.grids.cell(cam, cx, cy):
+                    if q == pid or not a.alive[q]:
+                        continue
+                    nd = np.linalg.norm(a.data["center"][q]
+                                        - self.np_center[cam])
+                    if depth > nd:
+                        visible -= 1
+                        break
+            if visible < cfg.min_cam_num:
+                self._delete(pid)
+                removed += 1
+        self._log(f"visibilityFiltering removed {removed}")
+        return removed
+
+    def neighbor_cell_filtering(self, neighbor_ratio: float) -> int:
+        """3x3-cell neighbourhood support ratio (mvs.cpp:327-397)."""
+        self._ensure_grids()
+        a = self.arena
+        removed = 0
+        for key in sorted(self.grids.cells.keys()):
+            cam, x, y = key
+            occ = [p for p in self.grids.cells[key] if a.alive[p]]
+            kill = []
+            for pid in occ:
+                c1 = a.data["center"][pid]
+                n1 = a.normals([pid])[0]
+                nsum = 0
+                nnum = 0
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        nx, ny = x + dx, y + dy
+                        if not self.grids.in_map(cam, nx, ny):
+                            continue
+                        cell = [q for q in self.grids.cell(cam, nx, ny)
+                                if a.alive[q]]
+                        nsum += len(cell)
+                        if cell:
+                            c2 = a.data["center"][cell]
+                            n2 = a.normals(cell)
+                            nnum += int(self._is_neighbor(c1, n1, c2, n2)
+                                        .sum())
+                if nsum and nnum / nsum < neighbor_ratio:
+                    kill.append(pid)
+            for p in kill:
+                self._delete(p)
+                removed += 1
+        self._log(f"neighborCellFiltering removed {removed}")
+        return removed
+
+    def neighbor_patch_filtering(self, neighbor_ratio: float) -> int:
+        """PCMVS density rule: drop patches with fewer Euclidean neighbours
+        (within neighborRadius) than avg * ratio (mvs.cpp:448-525).
+        Implemented as chunked pairwise distances (the reference is an
+        O(N^2) OMP loop)."""
+        self._ensure_grids()
+        a = self.arena
+        ids = a.live_ids()
+        if len(ids) == 0:
+            return 0
+        centers = a.data["center"][ids]
+        N = len(ids)
+        counts = np.zeros(N, dtype=np.int64)
+        chunk = max(1, int(2e7 / max(N, 1)))
+        for s in range(0, N, chunk):
+            d = np.linalg.norm(centers[s:s + chunk, None, :]
+                               - centers[None, :, :], axis=-1)
+            counts[s:s + chunk] = (d <= self.neighbor_radius).sum(axis=1) - 1
+        avg = counts.mean()
+        kill = ids[counts < avg * neighbor_ratio]
+        for p in kill:
+            self._delete(p)
+        self._log(f"neighborPatchFiltering removed {len(kill)} "
+                  f"(avg neighbours {avg:.2f})")
+        return len(kill)
+
+    def run_filters(self, ratio: float = 0.25) -> None:
+        """The reference ``-f`` pipeline (TMVS.cpp:124-172)."""
+        self.cell_filtering()
+        self.visibility_filtering()
+        self.neighbor_cell_filtering(ratio)
+        self.arena.deleted_ids.clear()
+        self.neighbor_patch_filtering(ratio)
+
+    # ------------------------------------------------------------------
+    # export
+    # ------------------------------------------------------------------
+    def patch_data(self, deleted: bool = False) -> MvsPatchData:
+        a = self.arena
+        if deleted:
+            ids = np.asarray(a.deleted_ids, dtype=np.int64)
+        else:
+            ids = a.live_ids()
+        return MvsPatchData(
+            centers=a.data["center"][ids],
+            normal_sph=a.data["normal_sph"][ids],
+            cam_masks=a.data["cam_mask"][ids],
+            fitness=a.data["fitness"][ids],
+            correlation=a.data["correlation"][ids])
+
+    def live_centers(self) -> np.ndarray:
+        return self.arena.data["center"][self.arena.live_ids()]
+
+    def write_mvs(self, path: str, deleted: bool = False) -> None:
+        write_mvs(path, self.cfg, self.params, self.patch_data(deleted))
+
+    def write_ply(self, path: str, deleted: bool = False) -> None:
+        a = self.arena
+        ids = (np.asarray(a.deleted_ids, dtype=np.int64) if deleted
+               else a.live_ids())
+        write_ply(path, a.data["center"][ids], a.normals(ids),
+                  a.data["color"][ids])
+
+    def write_psr(self, path: str) -> None:
+        ids = self.arena.live_ids()
+        write_psr(path, self.arena.data["center"][ids],
+                  self.arena.normals(ids))

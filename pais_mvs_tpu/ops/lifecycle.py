@@ -1,0 +1,419 @@
+"""Batched patch lifecycle: everything ``Patch::refine`` does, as masked
+tensor programs over a whole batch.
+
+The reference refines one patch at a time through a stateful method chain
+(TMVS/mvs/patch.cpp:114-176): pick reference camera, derive depth/ray,
+bound the depth search, pick a pyramid level, run PSO, drop invisible
+cameras, repeat until the camera set stabilizes. Here each step is a pure
+function over ``[B, ...]`` arrays; the stabilization loop becomes a fixed
+number of re-optimization rounds (seeds) with per-patch drop masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pais_mvs_tpu.config import MvsConfig
+from pais_mvs_tpu.models.camera import Scene
+from pais_mvs_tpu.models.patch import PatchBatch
+from pais_mvs_tpu.ops import fitness as F
+from pais_mvs_tpu.ops import geometry as geom
+from pais_mvs_tpu.ops.geometry import BIG
+from pais_mvs_tpu.ops.pso import gln_pso
+
+
+# ---------------------------------------------------------------------------
+# per-step primitives
+# ---------------------------------------------------------------------------
+
+def set_reference_camera(scene: Scene, normal, cam_mask):
+    """argmax over visible cameras of normal . (-optical axis).
+    Ref: Patch::setReferenceCameraIndex (patch.cpp:415-445)."""
+    corr = -jnp.einsum("bk,ck->bc", normal, scene.rig.optical)
+    corr = jnp.where(cam_mask, corr, -jnp.inf)
+    return jnp.argmax(corr, axis=-1).astype(jnp.int32)
+
+
+def set_depth_and_ray(scene: Scene, center, ref_cam):
+    """Ref: Patch::setDepthAndRay (patch.cpp:447-461)."""
+    ray = center - scene.rig.center[ref_cam]
+    depth = jnp.linalg.norm(ray, axis=-1)
+    ray = ray / jnp.where(depth > 0, depth, 1.0)[..., None]
+    return depth, ray
+
+
+def set_depth_range(scene: Scene, cfg: MvsConfig, center, ray, depth,
+                    ref_cam, cam_mask, neighbor_radius):
+    """Depth bounds from the 1-pixel-displacement sensitivity of the other
+    views (patch.cpp:463-509). Views whose image displacement is < 0.01 px
+    are skipped; a patch with no usable view is dropped.
+
+    Returns (depth_range [B, 2], drop [B])."""
+    rig = scene.rig
+    B = center.shape[0]
+    C = rig.num_cameras
+    c2 = ray * (depth + 1.0)[..., None] + rig.center[ref_cam]
+
+    def proj_all(X):
+        # project [B, 3] into every camera -> [B, C, 2]
+        return jax.vmap(
+            lambda Rc, Tc, fc, pc: geom.project(X, Rc, Tc, fc, pc, 1.0)[0],
+            in_axes=(0, 0, 0, 0), out_axes=1)(
+            rig.R, rig.T, rig.focal, rig.principal)
+
+    p1 = proj_all(center)
+    p2 = proj_all(c2)
+    img_dist = jnp.linalg.norm(p1 - p2, axis=-1)              # [B, C]
+    is_ref = jnp.arange(C)[None, :] == ref_cam[:, None]
+    usable = cam_mask & ~is_ref & (img_dist >= 0.01)
+    world_dist = 1.0 / jnp.where(img_dist > 0, img_dist, 1.0)
+    world_dist = jnp.where(usable, world_dist, -jnp.inf)
+    max_wd = jnp.max(world_dist, axis=-1)
+    drop = ~jnp.any(usable, axis=-1)
+    max_wd = jnp.where(drop, 0.0, max_wd)
+    lo = jnp.maximum(depth - max_wd * cfg.depth_range_scalar, 0.0)
+    hi = depth + jnp.minimum(max_wd * cfg.depth_range_scalar,
+                             neighbor_radius * 100.0)
+    return jnp.stack([lo, hi], axis=-1), drop
+
+
+def set_lod(scene: Scene, cfg: MvsConfig, center, ref_cam):
+    """Climb the pyramid until the window's intensity variance reaches
+    textureVariation (patch.cpp:511-610).
+
+    Reference control flow per level l (starting at minLOD):
+      * l >= camera maxLOD        -> use maxLOD, stop;
+      * projection / window OOB   -> use max(l-1, 0), stop;
+      * variance >= threshold     -> use l, stop;
+      * else                      -> l+1.
+    Vectorized: evaluate validity/variance at every level (L is small and
+    static), then resolve the first stopping level per patch.
+    """
+    rig, pyrs = scene.rig, scene.pyramids
+    B = center.shape[0]
+    L = pyrs.num_levels
+    r = cfg.patch_radius
+    offs = jnp.asarray(F.window_offsets(r))                   # [W2, 2]
+    W2 = offs.shape[0]
+
+    valid = []
+    vars = []
+    for l in range(L):
+        s = jnp.float32(cfg.lod_ratio ** l)
+        def _proj(Xb, c):
+            return geom.project(Xb, rig.R[c], rig.T[c], rig.focal[c],
+                                rig.principal[c], s)
+        pt, z = jax.vmap(_proj)(center, ref_cam)              # [B, 2]
+        dims = pyrs.dims[ref_cam, l].astype(jnp.float32)      # [B, 2] (h, w)
+        pin = ((pt[:, 0] >= 0) & (pt[:, 0] < dims[:, 1]) &
+               (pt[:, 1] >= 0) & (pt[:, 1] < dims[:, 0]) & (z > 0) &
+               jnp.all(jnp.isfinite(pt), axis=-1))
+        win = jnp.round(pt)[:, None, :] + offs[None]          # [B, W2, 2]
+        win_in = ((win[..., 0] >= 0) & (win[..., 0] < dims[:, None, 1]) &
+                  (win[..., 1] >= 0) & (win[..., 1] < dims[:, None, 0]))
+        ok = pin & jnp.all(win_in, axis=-1)
+        cam_b = jnp.broadcast_to(ref_cam[:, None], (B, W2))
+        lod_b = jnp.full((B, W2), l, dtype=jnp.int32)
+        tex = F.nearest_gather(pyrs.images, cam_b, lod_b, win)
+        mean = jnp.mean(tex, axis=-1)
+        var = jnp.mean((tex - mean[:, None]) ** 2, axis=-1)
+        valid.append(ok)
+        vars.append(var)
+    valid = jnp.stack(valid, axis=1)                          # [B, L]
+    vars = jnp.stack(vars, axis=1)
+
+    max_lod = rig.max_lod[ref_cam]                            # [B]
+    lvl = jnp.arange(L)[None, :]
+    at_cap = lvl >= max_lod[:, None]
+    textured = vars >= cfg.texture_variation
+    considered = lvl >= cfg.min_lod
+
+    # first stopping level per patch
+    stop_cap = at_cap & considered
+    stop_oob = ~valid & ~at_cap & considered
+    stop_tex = valid & textured & ~at_cap & considered
+    any_stop = stop_cap | stop_oob | stop_tex
+    first = jnp.argmax(any_stop, axis=1)                      # [B]
+    hit = jnp.take_along_axis(any_stop, first[:, None], 1)[:, 0]
+    first = jnp.where(hit, first, max_lod)                    # exhausted -> cap
+    oob_first = jnp.take_along_axis(stop_oob, first[:, None], 1)[:, 0]
+    lod = jnp.where(oob_first, jnp.maximum(first - 1, 0),
+                    jnp.minimum(first, max_lod))
+    return lod.astype(jnp.int32)
+
+
+def remove_invisible_cameras(scene: Scene, cfg: MvsConfig,
+                             center, normal, ref_cam, cam_mask, lod):
+    """Ref: Patch::removeInvisibleCamera (patch.cpp:655-721).
+
+    Returns (new_cam_mask, correlation, drop). ``correlation`` is computed
+    over the PRE-removal camera set, as in the reference.
+    """
+    rig = scene.rig
+    B = center.shape[0]
+    C = rig.num_cameras
+    vecs, corr_table, correlation, ok = F.warped_patch_vectors(
+        scene, cfg, center, normal, ref_cam, cam_mask, lod)
+
+    corr_sum = jnp.sum(corr_table, axis=-1)                   # [B, C]
+    corr_sum = jnp.where(cam_mask, corr_sum, -jnp.inf)
+    # reference scans i = 0..camNum with >=, so ties pick the LAST index
+    rev = corr_sum[:, ::-1]
+    max_idx = (C - 1 - jnp.argmax(rev, axis=-1)).astype(jnp.int32)
+
+    lod_scale = jnp.power(jnp.float32(cfg.lod_ratio), lod.astype(jnp.float32))
+    H, _ = F._per_camera_homographies(scene, center, normal, ref_cam, lod_scale)
+
+    def _proj(Xb, c, s):
+        return geom.project(Xb, rig.R[c], rig.T[c], rig.focal[c],
+                            rig.principal[c], s)[0]
+    pt = jax.vmap(_proj)(center, ref_cam, lod_scale)          # [B, 2]
+
+    ratio = geom.homography_region_ratio(H, pt[:, None, :])   # [B, C]
+    facing = -jnp.einsum("bk,ck->bc", normal, rig.optical)    # [B, C]
+    best_corr = jnp.take_along_axis(corr_table, max_idx[:, None, None],
+                                    axis=1)[:, 0, :]          # [B, C]
+    is_best = jnp.arange(C)[None, :] == max_idx[:, None]
+
+    remove = (ratio < cfg.min_region_ratio) | (facing < 0) | \
+             (~is_best & (best_corr < cfg.min_correlation))
+    new_mask = cam_mask & ~remove
+    drop = (~ok) | (jnp.sum(new_mask, axis=-1) < cfg.min_cam_num)
+    return new_mask, correlation, drop
+
+
+def set_priority(scene: Scene, fitness, correlation, cam_mask, lod):
+    """priority = fitness * exp(-correlation - camNum/totalCams) * (LOD+1)
+    (patch.cpp:612-625); lower is better."""
+    total = scene.rig.num_cameras
+    cam_ratio = jnp.sum(cam_mask, axis=-1).astype(fitness.dtype) / total
+    return fitness * jnp.exp(-correlation - cam_ratio) * \
+        (lod.astype(fitness.dtype) + 1.0)
+
+
+def set_image_points_and_color(scene: Scene, center, ref_cam):
+    """Level-0 projections into every camera + RGB color from the reference
+    view (patch.cpp:627-653). Returns (img_point [B, C, 2], color [B, 3])."""
+    rig, pyrs = scene.rig, scene.pyramids
+    B = center.shape[0]
+    C = rig.num_cameras
+
+    def per_cam(Rc, Tc, fc, pc):
+        return geom.project(center, Rc, Tc, fc, pc, 1.0)[0]
+    ipts = jax.vmap(per_cam, in_axes=(0, 0, 0, 0), out_axes=1)(
+        rig.R, rig.T, rig.focal, rig.principal)               # [B, C, 2]
+
+    ref_pt = jnp.take_along_axis(
+        ipts, ref_cam[:, None, None].astype(jnp.int32).repeat(2, -1),
+        axis=1)[:, 0, :]
+    Hp, Wp = pyrs.rgb.shape[1:3]
+    xi = jnp.clip(jnp.round(ref_pt[:, 0]).astype(jnp.int32), 0, Wp - 1)
+    yi = jnp.clip(jnp.round(ref_pt[:, 1]).astype(jnp.int32), 0, Hp - 1)
+    color = pyrs.rgb[ref_cam, yi, xi]                         # [B, 3]
+    return ipts, color
+
+
+def runtime_filter_static(scene: Scene, cfg: MvsConfig, pb: PatchBatch):
+    """Device-side part of MVS::runtimeFiltering (mvs.cpp:838-875): drop,
+    camera count, fitness/priority/correlation gates, NaNs, background or
+    out-of-frame in ANY camera, front-facing camera count. The cell-map
+    density clause (mvs.cpp:877-895) lives with the host cell grid.
+
+    Returns keep [B] bool.
+    """
+    rig, pyrs = scene.rig, scene.pyramids
+    B = pb.capacity
+    C = rig.num_cameras
+    keep = pb.valid
+    keep &= pb.cam_count() >= cfg.min_cam_num
+    keep &= pb.fitness <= cfg.max_fitness
+    keep &= pb.fitness != 0.0
+    keep &= pb.priority <= 10000.0
+    keep &= jnp.isfinite(pb.fitness) & jnp.isfinite(pb.priority) & \
+        jnp.isfinite(pb.correlation)
+    keep &= pb.correlation >= cfg.min_correlation
+
+    # center must project inside EVERY camera, onto non-background pixels
+    def per_cam(Rc, Tc, fc, pc):
+        return geom.project(pb.center, Rc, Tc, fc, pc, 1.0)
+    xy, z = jax.vmap(per_cam, in_axes=(0, 0, 0, 0), out_axes=1)(
+        rig.R, rig.T, rig.focal, rig.principal)               # [B, C, 2], [B, C]
+    dims = pyrs.dims[:, 0].astype(jnp.float32)                # [C, 2]
+    inside = ((xy[..., 0] >= 0) & (xy[..., 0] < dims[None, :, 1]) &
+              (xy[..., 1] >= 0) & (xy[..., 1] < dims[None, :, 0]) &
+              (z > 0) & jnp.all(jnp.isfinite(xy), axis=-1))
+    cam_b = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
+    lod0 = jnp.zeros((B, C), dtype=jnp.int32)
+    inten = F.nearest_gather(pyrs.images, cam_b, lod0, xy)
+    keep &= jnp.all(inside & (inten != 0), axis=-1)
+
+    facing = -jnp.einsum("bk,ck->bc", pb.normal(), rig.optical)
+    front = jnp.sum((facing > 0) & pb.cam_mask, axis=-1)
+    keep &= front >= cfg.min_cam_num
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# the refine driver
+# ---------------------------------------------------------------------------
+
+class RefineResult(NamedTuple):
+    batch: PatchBatch
+    iterations: jnp.ndarray     # [B] PSO iterations of the last round
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "is_seed", "rounds"))
+def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
+                 neighbor_radius, is_seed: bool, rounds: int) -> RefineResult:
+    """Batched Patch::refine (patch.cpp:114-176) + the follow-up
+    removeInvisibleCamera its callers perform (mvs.cpp:215, 574).
+
+    Seeds: full normal range, 2x particles & iterations, ``rounds``
+    re-optimization rounds. Expansion: narrowed normal range
+    (+-pi/reduceNormalRange), 1 round.
+    """
+    rig = scene.rig
+    B = pb.capacity
+    neighbor_radius = jnp.asarray(neighbor_radius, dtype=jnp.float32)
+
+    valid = pb.valid & (pb.cam_count() >= cfg.min_cam_num)
+    center = pb.center
+    normal_sph = pb.normal_sph
+    cam_mask = pb.cam_mask
+    fitness = pb.fitness
+    correlation = pb.correlation
+    iters = jnp.zeros(B, dtype=jnp.int32)
+
+    particle_num = cfg.particle_num * (2 if is_seed else 1)
+    max_iteration = cfg.max_iteration * (2 if is_seed else 1)
+
+    lod = pb.lod
+    ref_cam = pb.ref_cam
+    depth = pb.depth
+    ray = pb.ray
+    depth_range = pb.depth_range
+
+    for rnd in range(rounds):
+        normal = geom.spherical_to_normal(normal_sph)
+        ref_cam = set_reference_camera(scene, normal, cam_mask)
+        depth, ray = set_depth_and_ray(scene, center, ref_cam)
+        depth_range, drop_dr = set_depth_range(
+            scene, cfg, center, ray, depth, ref_cam, cam_mask, neighbor_radius)
+        valid &= ~drop_dr
+        lod = set_lod(scene, cfg, center, ref_cam)
+
+        # PSO bounds (patch.cpp:183-200)
+        if is_seed:
+            lo_t = jnp.zeros(B)
+            hi_t = jnp.full(B, jnp.pi)
+        else:
+            shrink = jnp.float32(jnp.pi / cfg.reduce_normal_range)
+            lo_t = jnp.maximum(0.0, normal_sph[:, 0] - shrink)
+            hi_t = jnp.minimum(jnp.pi, normal_sph[:, 0] + shrink)
+        span_p = jnp.float32(jnp.pi / (cfg.reduce_normal_range if not is_seed
+                                       else 2.0))
+        lo = jnp.stack([lo_t, normal_sph[:, 1] - span_p, depth_range[:, 0]], -1)
+        hi = jnp.stack([hi_t, normal_sph[:, 1] + span_p, depth_range[:, 1]], -1)
+        init = jnp.stack([normal_sph[:, 0], normal_sph[:, 1], depth], -1)
+
+        fit_fn = lambda pos: F.patch_fitness(
+            scene, cfg, ref_cam, cam_mask, lod, ray, pos)
+        res = gln_pso(fit_fn, lo.astype(jnp.float32), hi.astype(jnp.float32),
+                      init.astype(jnp.float32),
+                      jax.random.fold_in(key, rnd),
+                      particle_num=particle_num, max_iteration=max_iteration)
+        iters = res.iterations
+
+        new_sph = res.gbest[:, :2]
+        new_depth = res.gbest[:, 2]
+        new_center = ray * new_depth[:, None] + rig.center[ref_cam]
+        # only live patches move
+        m1 = valid[:, None]
+        normal_sph = jnp.where(m1, new_sph, normal_sph)
+        depth = jnp.where(valid, new_depth, depth)
+        center = jnp.where(m1, new_center, center)
+        fitness = jnp.where(valid, res.gbest_fit, fitness)
+        valid &= fitness <= cfg.max_fitness
+
+        normal = geom.spherical_to_normal(normal_sph)
+        new_mask, corr, drop_inv = remove_invisible_cameras(
+            scene, cfg, center, normal, ref_cam, cam_mask, lod)
+        cam_mask = jnp.where(valid[:, None], new_mask, cam_mask)
+        correlation = jnp.where(valid, corr, correlation)
+        valid &= ~drop_inv
+
+    # final bookkeeping (patch.cpp:174-175) with the post-PSO camera set
+    normal = geom.spherical_to_normal(normal_sph)
+    ref_cam = set_reference_camera(scene, normal, cam_mask)
+    depth, ray = set_depth_and_ray(scene, center, ref_cam)
+    depth_range, drop_dr = set_depth_range(
+        scene, cfg, center, ray, depth, ref_cam, cam_mask, neighbor_radius)
+    valid &= ~drop_dr
+    lod = set_lod(scene, cfg, center, ref_cam)
+    priority = set_priority(scene, fitness, correlation, cam_mask, lod)
+    img_point, color = set_image_points_and_color(scene, center, ref_cam)
+
+    out = pb.replace(
+        center=center, normal_sph=normal_sph, cam_mask=cam_mask,
+        ref_cam=ref_cam, depth=depth, ray=ray, depth_range=depth_range,
+        lod=lod, fitness=fitness, correlation=correlation, priority=priority,
+        img_point=img_point,
+        color=jnp.where(valid[:, None], color, pb.color),
+        valid=valid)
+    keep = runtime_filter_static(scene, cfg, out)
+    return RefineResult(out.replace(valid=keep), iters)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rehydrate_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch,
+                    neighbor_radius) -> PatchBatch:
+    """Recompute all derived state from (center, spherical normal, camera
+    set, fitness, correlation) — the reference's loader constructor
+    (patch.cpp:45-59): refCam, depth/ray, depthRange, LOD, priority, image
+    points, color."""
+    valid = pb.valid & (pb.cam_count() >= cfg.min_cam_num)
+    normal = geom.spherical_to_normal(pb.normal_sph)
+    ref_cam = set_reference_camera(scene, normal, pb.cam_mask)
+    depth, ray = set_depth_and_ray(scene, pb.center, ref_cam)
+    depth_range, drop_dr = set_depth_range(
+        scene, cfg, pb.center, ray, depth, ref_cam, pb.cam_mask,
+        jnp.asarray(neighbor_radius, dtype=jnp.float32))
+    valid &= ~drop_dr
+    lod = set_lod(scene, cfg, pb.center, ref_cam)
+    priority = set_priority(scene, pb.fitness, pb.correlation, pb.cam_mask,
+                            lod)
+    img_point, color = set_image_points_and_color(scene, pb.center, ref_cam)
+    return pb.replace(ref_cam=ref_cam, depth=depth, ray=ray,
+                      depth_range=depth_range, lod=lod, priority=priority,
+                      img_point=img_point, color=color, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prepare_seeds(scene: Scene, cfg: MvsConfig, pb: PatchBatch) -> PatchBatch:
+    """Seed initialization after NVM load: re-triangulate from the measured
+    image points and set the estimated normal (MVS::reCentering,
+    mvs.cpp:135-145 + patch.cpp:67-112, 390-413)."""
+    rig = scene.rig
+    B = pb.capacity
+    C = rig.num_cameras
+
+    def one(ipts, mask, old_center):
+        def cam_dir(c):
+            return geom.pixel_to_world_dir(ipts[c], rig.R[c], rig.center[c],
+                                           rig.focal[c], rig.principal[c])
+        dirs = jax.vmap(cam_dir)(jnp.arange(C))
+        return geom.triangulate_rays(rig.center, dirs, mask)
+    centers = jax.vmap(one)(pb.img_point, pb.cam_mask, pb.center)
+    # keep original center if triangulation blew up
+    ok = jnp.all(jnp.isfinite(centers), axis=-1)
+    centers = jnp.where(ok[:, None], centers, pb.center)
+
+    normal = geom.estimated_normal(centers, rig.center[None].repeat(B, 0),
+                                   pb.cam_mask)
+    sph = geom.normal_to_spherical(normal)
+    valid = pb.valid & (pb.cam_count() >= cfg.min_cam_num)
+    return pb.replace(center=centers, normal_sph=sph, valid=valid)

@@ -1,0 +1,108 @@
+"""Benchmark: patch-refinement throughput on the pawn-shaped workload.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "patches/s", "vs_baseline": N}
+
+Workload = the reference's default pawn configuration (README config.txt /
+TMVS/TMVS.cpp:49-50): 5 cameras at 640x480, patchRadius 15 (961-px windows),
+15 particles x 30 iterations with seed patches using 2x both. The metric is
+end-to-end refined patches per second per chip through refine_batch — PSO,
+photoconsistency, NCC visibility pruning, LOD selection and runtime
+filtering included (more work per patch than the CPU baseline measures, so
+the comparison is conservative).
+
+vs_baseline divides by the sequential CPU oracle's patches/s
+(baseline_cpu.json; pais_mvs_tpu/oracle.py — the reference publishes no
+numbers, SURVEY.md §6). Driver target: >= 50x (BASELINE.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pais_mvs_tpu.config import MvsConfig
+    from pais_mvs_tpu.data.synthetic import make_scene
+    from pais_mvs_tpu.models import patch as patch_mod
+    from pais_mvs_tpu.models.camera import build_scene
+    from pais_mvs_tpu.ops import lifecycle as lc
+
+    # persistent compilation cache: the refine program is large and the
+    # axon remote-compile path is slow/flaky on cold compiles
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    # max_lod=6 keeps the pyramid stack + LOD-search unroll bounded (the
+    # pawn workload's texture keeps patches at LOD 0-2 anyway)
+    cfg = MvsConfig(particle_num=15, max_iteration=30, dist_weighting=5.0,
+                    batch_size=B, max_lod=6)
+    sc = make_scene(num_cams=5, width=640, height=480, num_seeds=B + 64,
+                    seed=0)
+    scene = build_scene(sc.params, sc.images, cfg)
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    centers = sc.seed_centers[:B] + rng.normal(scale=0.01, size=(B, 3))
+    pb = patch_mod.from_seeds(centers, sc.seed_cam_masks[:B],
+                              sc.seed_img_points[:B])
+    pb = lc.prepare_seeds(scene, cfg, pb)
+    key = jax.random.PRNGKey(0)
+    nr = jnp.float32(0.005)
+
+    # compile + warm up
+    t0 = time.time()
+    res = lc.refine_batch(scene, cfg, pb, key, nr, True, 1)
+    jax.block_until_ready(res.batch.center)
+    compile_s = time.time() - t0
+    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    # steady state
+    t0 = time.time()
+    for i in range(reps):
+        res = lc.refine_batch(scene, cfg, pb,
+                              jax.random.fold_in(key, i), nr, True, 1)
+        jax.block_until_ready(res.batch.center)
+    dt = time.time() - t0
+    pps = B * reps / dt
+
+    # sanity: the result must actually be a reconstruction, not garbage
+    keep = np.asarray(res.batch.valid)
+    d = sc.surface_distance(np.asarray(res.batch.center)[keep]) if \
+        keep.any() else np.array([np.inf])
+    print(f"accepted {keep.sum()}/{B}, median surface dist "
+          f"{np.median(d):.5f}", file=sys.stderr)
+    quality_ok = keep.sum() > B * 0.5 and np.median(d) < 0.02
+
+    cpu_pps = 0.979
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "baseline_cpu.json")) as f:
+            cpu_pps = json.load(f)["value"]
+    except Exception:
+        pass
+
+    out = {
+        "metric": "pawn-shaped dense-recon patch refinement throughput"
+                  + ("" if quality_ok else " [QUALITY CHECK FAILED]"),
+        "value": round(pps, 2),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(pps / cpu_pps, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,12 @@ class MvsConfig:
     seed_refine_rounds: int = 3
     # Deterministic RNG seed (the reference uses srand(time) — irreproducible).
     rng_seed: int = 0
+    # Fitness kernel backend: "auto" picks the Pallas TPU kernel on TPU and
+    # the jnp reference elsewhere; "jnp"/"pallas" force one.
+    fitness_backend: str = "auto"
+    # Force full-f32 MXU multiplies in the Pallas kernel (~3x slower; the
+    # default bf16 passes add ~0.02 intensity units of fitness noise).
+    pallas_precise: bool = False
 
     @property
     def patch_size(self) -> int:

@@ -26,6 +26,19 @@ from pais_mvs_tpu.ops.geometry import BIG
 from pais_mvs_tpu.ops.pso import gln_pso
 
 
+def _fitness_fn(cfg: MvsConfig):
+    """Select the photoconsistency backend (decided at trace time)."""
+    backend = cfg.fitness_backend
+    if backend == "auto":
+        # the TPU platform may be named "tpu" or (tunneled) "axon"
+        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas":
+        from pais_mvs_tpu.ops.pallas_fitness import patch_fitness_pallas
+        return functools.partial(patch_fitness_pallas,
+                                 precise=cfg.pallas_precise)
+    return F.patch_fitness
+
+
 # ---------------------------------------------------------------------------
 # per-step primitives
 # ---------------------------------------------------------------------------
@@ -320,7 +333,7 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
         hi = jnp.stack([hi_t, normal_sph[:, 1] + span_p, depth_range[:, 1]], -1)
         init = jnp.stack([normal_sph[:, 0], normal_sph[:, 1], depth], -1)
 
-        fit_fn = lambda pos: F.patch_fitness(
+        fit_fn = lambda pos: _fitness_fn(cfg)(
             scene, cfg, ref_cam, cam_mask, lod, ray, pos)
         res = gln_pso(fit_fn, lo.astype(jnp.float32), hi.astype(jnp.float32),
                       init.astype(jnp.float32),

@@ -1,0 +1,286 @@
+"""Pallas TPU kernel for the photoconsistency hot loop.
+
+Why the jnp path is slow on TPU: it samples every (patch, particle, pixel,
+view) with element-granularity gathers, which the TPU executes serially.
+This kernel restructures the work around the hardware:
+
+  * Per (patch, view) a K x K pixel **box** around the warped window is
+    DMA'd from the HBM pyramid into VMEM once; all P particles' windows
+    sample from that box. The box position exploits two structural facts:
+    the reference-window center is depth-invariant (the candidate center
+    moves along the reference ray), and the depth search range is ~1 pixel
+    of parallax by construction (TMVS/mvs/patch.cpp:463-509), so all
+    particles' warped footprints cluster tightly.
+  * Bilinear sampling becomes two small **matmuls on the MXU**: the
+    bilinear row/column weight matrices R [T, K] and Cw [T, K] have entries
+    relu(1 - |coord - index|) (built in-register from iota), and
+    val = rowsum((Cw @ box) * R). No gathers anywhere.
+  * The kernel emits warped intensities [B, C, P, W2]; the masked
+    mean/SAD/weighting reduction stays in dense XLA (bandwidth-bound,
+    fuses well).
+
+Samples falling outside the box are flagged invalid; hypotheses needing
+them score BIG — the only (documented) semantic delta vs the exact jnp
+kernel, affecting extreme-skew hypotheses that the reference rejects or
+scores terribly anyway. ``cover`` trades coverage for FLOPs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pais_mvs_tpu.config import MvsConfig
+from pais_mvs_tpu.models.camera import Scene
+from pais_mvs_tpu.ops import fitness as F
+from pais_mvs_tpu.ops import geometry as geom
+from pais_mvs_tpu.ops.geometry import BIG
+
+INVALID = -1e9  # python float: jnp constants cannot be captured by kernels
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
+                   out_ref, box, sem, *, precision):
+    """Grid (B, C). Emits warped bilinear samples for one (patch, view).
+
+    ints: [B, C, 4] int32 (bx, by, lod, 0) in SMEM;
+    flts: [B, C, 4] f32 (h, w, ptx, pty) in SMEM;
+    images: [C, L, Hp, Wp] f32 in ANY/HBM; H: [B, C, P, 9] f32 in SMEM;
+    offs: [W2p, 2] f32 in VMEM. out: [B, C, P, W2p] f32.
+    (No scalar prefetch: the compiler reserves 1 MiB of SMEM per prefetch
+    operand, and none of the index maps need these values.)
+    """
+    c = pl.program_id(1)
+    KY, KX = box.shape
+    P = out_ref.shape[2]
+    W2p = out_ref.shape[3]
+
+    # origins are tile-aligned by construction; tell Mosaic so the DMA
+    # slice offsets are provably divisible by the (8, 128) tiling
+    bx = pl.multiple_of(ints_ref[0, c, 0], 128)
+    by = pl.multiple_of(ints_ref[0, c, 1], 8)
+    lod = ints_ref[0, c, 2]
+    h_img = flts_ref[0, c, 0]
+    w_img = flts_ref[0, c, 1]
+
+    cp = pltpu.make_async_copy(
+        images_ref.at[c, lod, pl.ds(by, KY), pl.ds(bx, KX)], box, sem)
+    cp.start()
+
+    # window pixel coordinates in the reference LOD image (shared by all
+    # particles: the ref projection is depth-invariant along the ray)
+    px = flts_ref[0, c, 2]
+    py = flts_ref[0, c, 3]
+
+    cp.wait()
+    box_v = box[:, :]                                         # [KY, KX]
+    T = 256 if W2p % 256 == 0 else 128                        # pixel chunk
+    n_t = W2p // T
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (T, KX), 1) \
+        .astype(jnp.float32)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (T, KY), 1) \
+        .astype(jnp.float32)
+
+    bxf = bx.astype(jnp.float32)
+    byf = by.astype(jnp.float32)
+
+    def per_particle(p, _):
+        h0 = H_ref[0, 0, p, 0]
+        h1 = H_ref[0, 0, p, 1]
+        h2 = H_ref[0, 0, p, 2]
+        h3 = H_ref[0, 0, p, 3]
+        h4 = H_ref[0, 0, p, 4]
+        h5 = H_ref[0, 0, p, 5]
+        h6 = H_ref[0, 0, p, 6]
+        h7 = H_ref[0, 0, p, 7]
+        h8 = H_ref[0, 0, p, 8]
+
+        def per_tile(t, _):
+            o = pl.multiple_of(t * T, T)
+            x = px + offs_ref[pl.ds(o, T), 0]                 # [T]
+            y = py + offs_ref[pl.ds(o, T), 1]
+            wq = h6 * x + h7 * y + h8
+            sw = jnp.where(wq == 0, 1.0, wq)
+            u = (h0 * x + h1 * y + h2) / sw
+            v = (h3 * x + h4 * y + h5) / sw
+
+            # validity: reference bounds [2, dim-3) AND inside the box
+            ub = u - bxf
+            vb = v - byf
+            ok = ((wq != 0) & (u >= 2) & (u < w_img - 3)
+                  & (v >= 2) & (v < h_img - 3)
+                  & (ub >= 0) & (ub <= KX - 2) & (vb >= 0) & (vb <= KY - 2))
+
+            # bilinear weights as dense row/col matrices -> MXU
+            Rw = jnp.maximum(1.0 - jnp.abs(ub[:, None] - iota_x), 0.0)
+            Cw = jnp.maximum(1.0 - jnp.abs(vb[:, None] - iota_y), 0.0)
+            tmp = jax.lax.dot_general(
+                Cw, box_v, (((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32)           # [T, KX]
+            val = jnp.sum(tmp * Rw, axis=1)                   # [T]
+            out_ref[0, 0, p, pl.ds(o, T)] = jnp.where(ok, val, -1e9)
+            return 0
+
+        jax.lax.fori_loop(0, n_t, per_tile, 0)
+        return 0
+
+    jax.lax.fori_loop(0, P, per_particle, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "cover", "interpret", "precise"))
+def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
+                         ref_cam, cam_mask, lod, ray, pos,
+                         cover: int | None = None, interpret: bool = False,
+                         precise: bool = False):
+    """Drop-in replacement for ops.fitness.patch_fitness (same contract,
+    TMVS/mvs/patch.cpp:914-3047 semantics; see module docstring for the
+    box-coverage caveat).
+
+    ``cover``: guaranteed half-extent (pixels) of the sampled footprint
+    around each view's warped window center. Defaults to ~2.2x the patch
+    radius + margin. Box origins are tile-aligned (rows 8, cols 128), so
+    the DMA'd slab is [KY, KX] with KY >= 2*cover+7 and KX >= 2*cover+127.
+    """
+    rig, pyrs = scene.rig, scene.pyramids
+    B, P, _ = pos.shape
+    C = rig.num_cameras
+    r = cfg.patch_radius
+    if cover is None:
+        cover = int(2.2 * r) + 8
+    Hp, Wp = pyrs.images.shape[2], pyrs.images.shape[3]
+    KY = min(_round_up(2 * cover + 7, 8), Hp)
+    KX = min(_round_up(2 * cover + 127, 128), Wp)
+    W2 = (2 * r + 1) ** 2
+    W2p = _round_up(W2, 128)
+
+    normal = geom.spherical_to_normal(pos[..., :2])
+    ref_center = rig.center[ref_cam]
+    center = ray[:, None, :] * pos[..., 2:3] + ref_center[:, None, :]
+    facing_bad = jnp.einsum("bpk,bk->bp", normal, rig.optical[ref_cam]) > 0
+    lod_scale = jnp.power(jnp.float32(cfg.lod_ratio), lod.astype(jnp.float32))
+
+    ref_cam_bp = jnp.broadcast_to(ref_cam[:, None], (B, P))
+    H, hok = F._per_camera_homographies(
+        scene, center, normal, ref_cam_bp,
+        jnp.broadcast_to(lod_scale[:, None], (B, P)))         # [B,P,C,3,3]
+
+    # depth-invariant reference-window center (LOD coords)
+    def _proj(Xb, c, s):
+        return geom.project(Xb, rig.R[c], rig.T[c], rig.focal[c],
+                            rig.principal[c], s)[0]
+    pt = jax.vmap(_proj)(center[:, 0], ref_cam, lod_scale)    # [B, 2]
+
+    ref_dims = pyrs.dims[ref_cam, lod].astype(jnp.float32)    # [B, 2]
+    in_ref = ((pt[:, 0] - r >= 2) & (pt[:, 0] + r < ref_dims[:, 1] - 3) &
+              (pt[:, 1] - r >= 2) & (pt[:, 1] + r < ref_dims[:, 0] - 3))
+
+    # box origins: median warped center over particles, tile-aligned and
+    # clamped so the [KY, KX] slab stays inside the padded pyramid plane
+    uvc, wq = geom.homography_apply(H, pt[:, None, None, :])  # [B,P,C,2]
+    uvc = jnp.where(jnp.isfinite(uvc), uvc, 0.0)
+    ctr = jnp.median(uvc, axis=1)                             # [B, C, 2]
+    hw = pyrs.dims[jnp.arange(C)[None, :], lod[:, None]]      # [B, C, 2]
+    hwf = hw.astype(jnp.float32)
+    cx = jnp.round(ctr[..., 0]).astype(jnp.int32)
+    cy = jnp.round(ctr[..., 1]).astype(jnp.int32)
+    bx = jnp.clip(((cx - cover) // 128) * 128, 0, Wp - KX)
+    by = jnp.clip(((cy - cover) // 8) * 8, 0, Hp - KY)
+    box_org = jnp.stack([bx, by], axis=-1)                    # [B, C, 2]
+
+    offs_np = F.window_offsets(r)                             # [W2, 2]
+    offs = np.full((W2p, 2), 1e7, dtype=np.float32)           # pad -> invalid
+    offs[:W2] = offs_np
+    offs = jnp.asarray(offs)
+
+    Hflat = jnp.transpose(H, (0, 2, 1, 3, 4)).reshape(B, C, P, 9)
+
+    # pack the per-(patch, view) scalars into two small SMEM arrays
+    lod_bc = jnp.broadcast_to(lod[:, None], (B, C))
+    ints = jnp.stack([bx, by, lod_bc, jnp.zeros_like(bx)], axis=-1)
+    flts = jnp.concatenate(
+        [hwf, jnp.broadcast_to(pt[:, None, :], (B, C, 2))], axis=-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, C),
+        in_specs=[
+            pl.BlockSpec((1, C, 4), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.SMEM),            # ints
+            pl.BlockSpec((1, C, 4), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.SMEM),            # flts
+            pl.BlockSpec(memory_space=pltpu.ANY),             # images
+            pl.BlockSpec((1, 1, P, 9), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.SMEM),            # H (scalars)
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # offs
+        ],
+        out_specs=pl.BlockSpec((1, 1, P, W2p),
+                               lambda b, c: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((KY, KX), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    # MXU default multiplies in bf16 (fitness noise ~0.02 intensity units,
+    # harmless to PSO ordering at texture contrast); precise=True forces
+    # full-f32 multiplies at ~3x the MXU passes.
+    prec = (jax.lax.Precision.HIGHEST if precise
+            else jax.lax.Precision.DEFAULT)
+    vals = pl.pallas_call(
+        functools.partial(_sample_kernel, precision=prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, P, W2p), jnp.float32),
+        interpret=interpret,
+    )(ints, flts, pyrs.images, Hflat, offs)
+
+    vals = vals[..., :W2]                                     # [B, C, P, W2]
+    vals = jnp.transpose(vals, (0, 2, 3, 1))                  # [B, P, W2, C]
+    vok = vals > INVALID / 2
+
+    # reference-window foreground mask + weights (per patch, not particle)
+    win = pt[:, None, :] + jnp.asarray(offs_np)[None]         # [B, W2, 2]
+    ref_cam_bw = jnp.broadcast_to(ref_cam[:, None], (B, W2))
+    lod_bw = jnp.broadcast_to(lod[:, None], (B, W2))
+    ref_int = F.nearest_gather(pyrs.images, ref_cam_bw, lod_bw, win)
+    fg = (ref_int != 0)[:, None, :]                           # [B, 1, W2]
+
+    m = cam_mask[:, None, None, :]
+    mf = m.astype(vals.dtype)
+    cam_num = jnp.sum(cam_mask, axis=-1).astype(vals.dtype)
+    cn = cam_num[:, None, None]
+    vals_z = jnp.where(vok, vals, 0.0)
+    mean = jnp.sum(vals_z * mf, axis=-1) / cn
+    sad = jnp.sum(jnp.abs(vals_z - mean[..., None]) * mf, axis=-1) / cn
+
+    pix_ok = jnp.all(vok | ~m, axis=-1)                       # [B, P, W2]
+    cand_ok = jnp.all(pix_ok | ~fg, axis=-1)
+    cand_ok &= jnp.all(hok | ~m[:, :, 0, :], axis=-1)
+    cand_ok &= in_ref[:, None] & ~facing_bad
+
+    weight = jnp.ones_like(sad)
+    if cfg.adaptive_distance_enable:
+        weight = weight * jnp.asarray(F.dist_weight_table(cfg))[None, None, :]
+    if cfg.adaptive_difference_enable:
+        weight = weight * jnp.exp(-sad * sad / jnp.float32(cfg.diff_weighting))
+    if cfg.adaptive_gradient_enable:
+        edge = F.nearest_gather(pyrs.edges, ref_cam_bw, lod_bw, win)
+        safe_edge = jnp.maximum(edge[:, None, :]
+                                * jnp.float32(cfg.gradient_weighting), 1e-20)
+        weight = weight * jnp.exp(-1.0 / safe_edge)
+
+    wfg = weight * fg.astype(weight.dtype)
+    sum_w = jnp.sum(wfg, axis=-1)
+    fit = jnp.sum(wfg * sad, axis=-1) / jnp.where(sum_w > 0, sum_w, 1.0)
+    return jnp.where(cand_ok & (sum_w > 0), fit, BIG)

@@ -115,6 +115,10 @@ def pack_pyramids(per_cam_levels, per_cam_edges, per_cam_dims, num_levels):
     C = len(per_cam_levels)
     hmax = max(int(d[0, 0]) for d in per_cam_dims)
     wmax = max(int(d[0, 1]) for d in per_cam_dims)
+    # pad to TPU tile multiples (sublane 8 x lane 128) so Pallas kernels can
+    # DMA aligned slabs directly out of the packed pyramid
+    hmax = (hmax + 7) // 8 * 8
+    wmax = (wmax + 127) // 128 * 128
     images = np.zeros((C, num_levels, hmax, wmax), dtype=np.float32)
     edges = np.zeros((C, num_levels, hmax, wmax), dtype=np.float32)
     dims = np.zeros((C, num_levels, 2), dtype=np.int32)

@@ -1,15 +1,18 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set env before the first jax import anywhere in the test process.
+Note: this container's sitecustomize imports jax at interpreter startup
+(axon TPU plugin), so env vars are too late — use jax.config.update, which
+works as long as no backend has been initialized yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")  # harmless if already latched
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,69 @@
+"""Pallas fitness kernel vs the jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pais_mvs_tpu.ops import fitness as F
+from pais_mvs_tpu.ops import geometry as geom
+from pais_mvs_tpu.ops.pallas_fitness import patch_fitness_pallas
+
+
+@pytest.fixture(scope="module")
+def problem(tiny_scene, tiny_built, tiny_cfg):
+    scene = tiny_built
+    B, P = 8, 9
+    centers = tiny_scene.seed_centers[:B].astype(np.float32)
+    ref = np.full(B, 2, dtype=np.int32)
+    rays = centers - np.asarray(scene.rig.center)[ref]
+    depths = np.linalg.norm(rays, axis=-1)
+    rays = (rays / depths[:, None]).astype(np.float32)
+    sph = np.asarray(geom.normal_to_spherical(
+        jnp.asarray(tiny_scene.plane_normal)))
+    rng = np.random.default_rng(0)
+    pos = np.stack([
+        sph[0] + rng.normal(scale=0.25, size=(B, P)),
+        sph[1] + rng.normal(scale=0.35, size=(B, P)),
+        depths[:, None] + rng.uniform(-0.05, 0.05, size=(B, P)),
+    ], -1).astype(np.float32)
+    C = scene.rig.num_cameras
+    return (scene, jnp.asarray(ref), jnp.ones((B, C), bool),
+            jnp.zeros(B, dtype=jnp.int32), jnp.asarray(rays),
+            jnp.asarray(pos))
+
+
+def test_pallas_matches_jnp_reference(problem, tiny_cfg):
+    scene, ref, cm, lod, rays, pos = problem
+    a = np.asarray(F.patch_fitness(scene, tiny_cfg, ref, cm, lod, rays, pos))
+    b = np.asarray(patch_fitness_pallas(scene, tiny_cfg, ref, cm, lod, rays,
+                                        pos, interpret=True))
+    big_a = a >= 1e20
+    big_b = b >= 1e20
+    np.testing.assert_array_equal(big_a, big_b)
+    both = ~big_a
+    assert both.sum() > 20
+    np.testing.assert_allclose(b[both], a[both], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gradient_weighting_matches(problem, tiny_cfg):
+    scene, ref, cm, lod, rays, pos = problem
+    cfg = tiny_cfg.replace(adaptive_gradient_enable=True,
+                           adaptive_distance_enable=False)
+    a = np.asarray(F.patch_fitness(scene, cfg, ref, cm, lod, rays, pos))
+    b = np.asarray(patch_fitness_pallas(scene, cfg, ref, cm, lod, rays, pos,
+                                        interpret=True))
+    both = (a < 1e20) & (b < 1e20)
+    assert both.sum() > 20
+    np.testing.assert_allclose(b[both], a[both], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_respects_lod(problem, tiny_cfg):
+    scene, ref, cm, lod, rays, pos = problem
+    B = pos.shape[0]
+    lod1 = jnp.ones(B, dtype=jnp.int32)
+    a = np.asarray(F.patch_fitness(scene, tiny_cfg, ref, cm, lod1, rays, pos))
+    b = np.asarray(patch_fitness_pallas(scene, tiny_cfg, ref, cm, lod1, rays,
+                                        pos, interpret=True))
+    both = (a < 1e20) & (b < 1e20)
+    assert both.sum() > 10
+    np.testing.assert_allclose(b[both], a[both], rtol=1e-4, atol=1e-4)

@@ -54,7 +54,8 @@ def test_build_and_pack_pyramids():
     assert d0[1].tolist() == [48, 64]
     images, edges, dims = pyr.pack_pyramids([lv0, lv1], [ed0, ed1],
                                             [d0, d1], 4)
-    assert images.shape == (2, 4, 60, 80)
+    # planes are padded to TPU tile multiples (8, 128)
+    assert images.shape == (2, 4, 64, 128)
     assert dims[1, 3].tolist() == [0, 0]      # absent level
     assert dims[0, 0].tolist() == [60, 80]
     np.testing.assert_array_equal(images[0, 0, :60, :80], lv0[0])

@@ -80,6 +80,7 @@ class PyramidSet:
     edges: Any      # [C, L, Hmax, Wmax] f32 in [0, 1]
     dims: Any       # [C, L, 2] int32 (h, w) per level; (0, 0) where absent
     rgb: Any        # [C, Hmax, Wmax, 3] f32 level-0 color (for patch colors)
+    var: Any        # [C, L, Hmax, Wmax] f32 patch-window variance (-1 = OOB)
 
     @property
     def num_levels(self) -> int:
@@ -112,7 +113,7 @@ def build_scene(params: Sequence[CameraParams],
     optical = np.zeros((C, 3)); quat = np.zeros((C, 4))
     max_lods = np.zeros(C, dtype=np.int32)
 
-    levels_all, edges_all, dims_all = [], [], []
+    levels_all, edges_all, dims_all, vars_all = [], [], [], []
     hmax = max(img.shape[0] for img in rgb_images)
     wmax = max(img.shape[1] for img in rgb_images)
     rgb_packed = np.zeros((C, hmax, wmax, 3), dtype=np.float32)
@@ -124,6 +125,8 @@ def build_scene(params: Sequence[CameraParams],
         max_lods[i] = ml
         lv, ed, dm = pyr.build_pyramid(gray, cfg.lod_ratio, ml)
         levels_all.append(lv); edges_all.append(ed); dims_all.append(dm)
+        vars_all.append([pyr.window_variance_map(g, cfg.patch_radius)
+                         for g in lv])
         if img.ndim == 3:
             rgb_packed[i, :h, :w] = img.astype(np.float32)
         else:
@@ -146,6 +149,7 @@ def build_scene(params: Sequence[CameraParams],
 
     L = int(max_lods.max()) + 1
     images, edges, dims = pyr.pack_pyramids(levels_all, edges_all, dims_all, L)
+    var_maps = pyr.pack_variance_maps(vars_all, L, hmax, wmax)
 
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     rig = CameraRig(
@@ -155,5 +159,6 @@ def build_scene(params: Sequence[CameraParams],
         max_lod=jnp.asarray(max_lods, dtype=jnp.int32),
     )
     pyrs = PyramidSet(images=jnp.asarray(images), edges=jnp.asarray(edges),
-                      dims=jnp.asarray(dims), rgb=jnp.asarray(rgb_packed))
+                      dims=jnp.asarray(dims), rgb=jnp.asarray(rgb_packed),
+                      var=jnp.asarray(var_maps))
     return Scene(rig=rig, pyramids=pyrs)

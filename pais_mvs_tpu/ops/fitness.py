@@ -279,6 +279,17 @@ def warped_patch_vectors(scene: Scene, cfg: MvsConfig,
     ok = jnp.all(jnp.all(vok | ~m, axis=1) & (hok | ~cam_mask), axis=-1)
 
     vecs = jnp.swapaxes(vals, 1, 2)                           # [B, C, W2]
+    return ncc_from_vectors(vecs, cam_mask, ok)
+
+
+def ncc_from_vectors(vecs, cam_mask, ok):
+    """L2-normalize warped window vectors and build the pairwise NCC table
+    + mean off-diagonal correlation (patch.cpp:249-266).
+
+    vecs: [B, C, W2] raw warped intensities; ok: [B] validity.
+    Returns (unit vecs, corr [B, C, C], correlation [B], ok).
+    """
+    C = vecs.shape[1]
     norm = jnp.sqrt(jnp.sum(vecs * vecs, axis=-1, keepdims=True))
     vecs = vecs / jnp.where(norm > 0, norm, 1.0)
 

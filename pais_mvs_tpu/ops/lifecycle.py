@@ -109,10 +109,9 @@ def set_lod(scene: Scene, cfg: MvsConfig, center, ref_cam):
     rig, pyrs = scene.rig, scene.pyramids
     B = center.shape[0]
     L = pyrs.num_levels
-    r = cfg.patch_radius
-    offs = jnp.asarray(F.window_offsets(r))                   # [W2, 2]
-    W2 = offs.shape[0]
 
+    # window variance at every level via the precomputed maps (one lookup
+    # per level instead of a (2r+1)^2 gather; see pyramid.window_variance_map)
     valid = []
     vars = []
     for l in range(L):
@@ -125,16 +124,9 @@ def set_lod(scene: Scene, cfg: MvsConfig, center, ref_cam):
         pin = ((pt[:, 0] >= 0) & (pt[:, 0] < dims[:, 1]) &
                (pt[:, 1] >= 0) & (pt[:, 1] < dims[:, 0]) & (z > 0) &
                jnp.all(jnp.isfinite(pt), axis=-1))
-        win = jnp.round(pt)[:, None, :] + offs[None]          # [B, W2, 2]
-        win_in = ((win[..., 0] >= 0) & (win[..., 0] < dims[:, None, 1]) &
-                  (win[..., 1] >= 0) & (win[..., 1] < dims[:, None, 0]))
-        ok = pin & jnp.all(win_in, axis=-1)
-        cam_b = jnp.broadcast_to(ref_cam[:, None], (B, W2))
-        lod_b = jnp.full((B, W2), l, dtype=jnp.int32)
-        tex = F.nearest_gather(pyrs.images, cam_b, lod_b, win)
-        mean = jnp.mean(tex, axis=-1)
-        var = jnp.mean((tex - mean[:, None]) ** 2, axis=-1)
-        valid.append(ok)
+        lod_b = jnp.full((B,), l, dtype=jnp.int32)
+        var = F.nearest_gather(pyrs.var, ref_cam, lod_b, pt)
+        valid.append(pin & (var >= 0))
         vars.append(var)
     valid = jnp.stack(valid, axis=1)                          # [B, L]
     vars = jnp.stack(vars, axis=1)
@@ -169,8 +161,17 @@ def remove_invisible_cameras(scene: Scene, cfg: MvsConfig,
     rig = scene.rig
     B = center.shape[0]
     C = rig.num_cameras
-    vecs, corr_table, correlation, ok = F.warped_patch_vectors(
-        scene, cfg, center, normal, ref_cam, cam_mask, lod)
+    backend = cfg.fitness_backend
+    if backend == "auto":
+        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas":
+        from pais_mvs_tpu.ops.pallas_fitness import warped_patch_vectors_pallas
+        vecs, corr_table, correlation, ok = warped_patch_vectors_pallas(
+            scene, cfg, center, normal, ref_cam, cam_mask, lod,
+            precise=cfg.pallas_precise)
+    else:
+        vecs, corr_table, correlation, ok = F.warped_patch_vectors(
+            scene, cfg, center, normal, ref_cam, cam_mask, lod)
 
     corr_sum = jnp.sum(corr_table, axis=-1)                   # [B, C]
     corr_sum = jnp.where(cam_mask, corr_sum, -jnp.inf)

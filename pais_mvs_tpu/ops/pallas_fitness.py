@@ -53,7 +53,7 @@ def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
     """Grid (B, C). Emits warped bilinear samples for one (patch, view).
 
     ints: [B, C, 4] int32 (bx, by, lod, 0) in SMEM;
-    flts: [B, C, 4] f32 (h, w, ptx, pty) in SMEM;
+    flts: [B, C, 6] f32 (h, w, ptx, pty, margin_lo, margin_hi) in SMEM;
     images: [C, L, Hp, Wp] f32 in ANY/HBM; H: [B, C, P, 9] f32 in SMEM;
     offs: [W2p, 2] f32 in VMEM. out: [B, C, P, W2p] f32.
     (No scalar prefetch: the compiler reserves 1 MiB of SMEM per prefetch
@@ -80,6 +80,8 @@ def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
     # particles: the ref projection is depth-invariant along the ray)
     px = flts_ref[0, c, 2]
     py = flts_ref[0, c, 3]
+    mlo = flts_ref[0, c, 4]
+    mhi = flts_ref[0, c, 5]
 
     cp.wait()
     box_v = box[:, :]                                         # [KY, KX]
@@ -113,11 +115,12 @@ def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
             u = (h0 * x + h1 * y + h2) / sw
             v = (h3 * x + h4 * y + h5) / sw
 
-            # validity: reference bounds [2, dim-3) AND inside the box
+            # validity: caller's margins (fitness [2, dim-3), NCC
+            # [0, dim-1)) AND inside the DMA'd box
             ub = u - bxf
             vb = v - byf
-            ok = ((wq != 0) & (u >= 2) & (u < w_img - 3)
-                  & (v >= 2) & (v < h_img - 3)
+            ok = ((wq != 0) & (u >= mlo) & (u < w_img - mhi)
+                  & (v >= mlo) & (v < h_img - mhi)
                   & (ub >= 0) & (ub <= KX - 2) & (vb >= 0) & (vb <= KY - 2))
 
             # bilinear weights as dense row/col matrices -> MXU
@@ -137,57 +140,26 @@ def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
     jax.lax.fori_loop(0, P, per_particle, 0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "cover", "interpret", "precise"))
-def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
-                         ref_cam, cam_mask, lod, ray, pos,
-                         cover: int | None = None, interpret: bool = False,
-                         precise: bool = False):
-    """Drop-in replacement for ops.fitness.patch_fitness (same contract,
-    TMVS/mvs/patch.cpp:914-3047 semantics; see module docstring for the
-    box-coverage caveat).
+def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
+                 cover: int, precise: bool, interpret: bool):
+    """Launch the sampling kernel.
 
-    ``cover``: guaranteed half-extent (pixels) of the sampled footprint
-    around each view's warped window center. Defaults to ~2.2x the patch
-    radius + margin. Box origins are tile-aligned (rows 8, cols 128), so
-    the DMA'd slab is [KY, KX] with KY >= 2*cover+7 and KX >= 2*cover+127.
+    H: [B, P, C, 3, 3] homographies; pt: [B, 2] reference-window centers
+    (LOD coords); lod: [B]; margins: (lo, hi) bounds margins.
+    Returns warped samples [B, C, P, W2] (INVALID where out of bounds/box).
     """
-    rig, pyrs = scene.rig, scene.pyramids
-    B, P, _ = pos.shape
-    C = rig.num_cameras
+    pyrs = scene.pyramids
+    B, P, C = H.shape[:3]
     r = cfg.patch_radius
-    if cover is None:
-        cover = int(2.2 * r) + 8
     Hp, Wp = pyrs.images.shape[2], pyrs.images.shape[3]
     KY = min(_round_up(2 * cover + 7, 8), Hp)
     KX = min(_round_up(2 * cover + 127, 128), Wp)
     W2 = (2 * r + 1) ** 2
     W2p = _round_up(W2, 128)
 
-    normal = geom.spherical_to_normal(pos[..., :2])
-    ref_center = rig.center[ref_cam]
-    center = ray[:, None, :] * pos[..., 2:3] + ref_center[:, None, :]
-    facing_bad = jnp.einsum("bpk,bk->bp", normal, rig.optical[ref_cam]) > 0
-    lod_scale = jnp.power(jnp.float32(cfg.lod_ratio), lod.astype(jnp.float32))
-
-    ref_cam_bp = jnp.broadcast_to(ref_cam[:, None], (B, P))
-    H, hok = F._per_camera_homographies(
-        scene, center, normal, ref_cam_bp,
-        jnp.broadcast_to(lod_scale[:, None], (B, P)))         # [B,P,C,3,3]
-
-    # depth-invariant reference-window center (LOD coords)
-    def _proj(Xb, c, s):
-        return geom.project(Xb, rig.R[c], rig.T[c], rig.focal[c],
-                            rig.principal[c], s)[0]
-    pt = jax.vmap(_proj)(center[:, 0], ref_cam, lod_scale)    # [B, 2]
-
-    ref_dims = pyrs.dims[ref_cam, lod].astype(jnp.float32)    # [B, 2]
-    in_ref = ((pt[:, 0] - r >= 2) & (pt[:, 0] + r < ref_dims[:, 1] - 3) &
-              (pt[:, 1] - r >= 2) & (pt[:, 1] + r < ref_dims[:, 0] - 3))
-
-    # box origins: median warped center over particles, tile-aligned and
-    # clamped so the [KY, KX] slab stays inside the padded pyramid plane
-    uvc, wq = geom.homography_apply(H, pt[:, None, None, :])  # [B,P,C,2]
+    # box origins: median warped window center over particles, tile-aligned
+    # and clamped so the [KY, KX] slab stays inside the padded plane
+    uvc, _ = geom.homography_apply(H, pt[:, None, None, :])   # [B,P,C,2]
     uvc = jnp.where(jnp.isfinite(uvc), uvc, 0.0)
     ctr = jnp.median(uvc, axis=1)                             # [B, C, 2]
     hw = pyrs.dims[jnp.arange(C)[None, :], lod[:, None]]      # [B, C, 2]
@@ -196,7 +168,6 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     cy = jnp.round(ctr[..., 1]).astype(jnp.int32)
     bx = jnp.clip(((cx - cover) // 128) * 128, 0, Wp - KX)
     by = jnp.clip(((cy - cover) // 8) * 8, 0, Hp - KY)
-    box_org = jnp.stack([bx, by], axis=-1)                    # [B, C, 2]
 
     offs_np = F.window_offsets(r)                             # [W2, 2]
     offs = np.full((W2p, 2), 1e7, dtype=np.float32)           # pad -> invalid
@@ -208,8 +179,10 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     # pack the per-(patch, view) scalars into two small SMEM arrays
     lod_bc = jnp.broadcast_to(lod[:, None], (B, C))
     ints = jnp.stack([bx, by, lod_bc, jnp.zeros_like(bx)], axis=-1)
+    mlo = jnp.full((B, C, 1), margins[0], dtype=jnp.float32)
+    mhi = jnp.full((B, C, 1), margins[1], dtype=jnp.float32)
     flts = jnp.concatenate(
-        [hwf, jnp.broadcast_to(pt[:, None, :], (B, C, 2))], axis=-1)
+        [hwf, jnp.broadcast_to(pt[:, None, :], (B, C, 2)), mlo, mhi], axis=-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -217,7 +190,7 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
         in_specs=[
             pl.BlockSpec((1, C, 4), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),            # ints
-            pl.BlockSpec((1, C, 4), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, C, 6), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),            # flts
             pl.BlockSpec(memory_space=pltpu.ANY),             # images
             pl.BlockSpec((1, 1, P, 9), lambda b, c: (b, c, 0, 0),
@@ -244,13 +217,96 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
         out_shape=jax.ShapeDtypeStruct((B, C, P, W2p), jnp.float32),
         interpret=interpret,
     )(ints, flts, pyrs.images, Hflat, offs)
+    return vals[..., :W2]
 
-    vals = vals[..., :W2]                                     # [B, C, P, W2]
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "cover", "interpret", "precise"))
+def warped_patch_vectors_pallas(scene: Scene, cfg: MvsConfig,
+                                center, normal, ref_cam, cam_mask, lod,
+                                cover: int | None = None,
+                                interpret: bool = False,
+                                precise: bool = False):
+    """Pallas-backed equivalent of ops.fitness.warped_patch_vectors (NCC
+    correlation tables; TMVS/mvs/patch.cpp:221-267, 332-386). Uses the same
+    box sampler with the NCC path's looser [0, dim-1) bounds."""
+    rig, pyrs = scene.rig, scene.pyramids
+    B = center.shape[0]
+    C = rig.num_cameras
+    r = cfg.patch_radius
+    if cover is None:
+        cover = int(2.2 * r) + 8
+    lod_scale = jnp.power(jnp.float32(cfg.lod_ratio), lod.astype(jnp.float32))
+    H, hok = F._per_camera_homographies(scene, center, normal, ref_cam,
+                                        lod_scale)            # [B, C, 3, 3]
+
+    def _proj(Xb, c, s):
+        return geom.project(Xb, rig.R[c], rig.T[c], rig.focal[c],
+                            rig.principal[c], s)[0]
+    pt = jax.vmap(_proj)(center, ref_cam, lod_scale)          # [B, 2]
+
+    vals = _run_sampler(scene, cfg, H[:, None], pt, lod, (0.0, 1.0),
+                        cover, precise, interpret)            # [B, C, 1, W2]
+    vals = vals[:, :, 0, :]                                   # [B, C, W2]
+    vok = vals > INVALID / 2
+    ok = jnp.all(jnp.all(vok, axis=-1) | ~cam_mask, axis=-1)
+    ok &= jnp.all(hok | ~cam_mask, axis=-1)
+
+    vecs = jnp.where(vok, vals, 0.0)
+    return F.ncc_from_vectors(vecs, cam_mask, ok)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "cover", "interpret", "precise"))
+def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
+                         ref_cam, cam_mask, lod, ray, pos,
+                         cover: int | None = None, interpret: bool = False,
+                         precise: bool = False):
+    """Drop-in replacement for ops.fitness.patch_fitness (same contract,
+    TMVS/mvs/patch.cpp:914-3047 semantics; see module docstring for the
+    box-coverage caveat).
+
+    ``cover``: guaranteed half-extent (pixels) of the sampled footprint
+    around each view's warped window center. Defaults to ~2.2x the patch
+    radius + margin. Box origins are tile-aligned (rows 8, cols 128), so
+    the DMA'd slab is [KY, KX] with KY >= 2*cover+7 and KX >= 2*cover+127.
+    """
+    rig, pyrs = scene.rig, scene.pyramids
+    B, P, _ = pos.shape
+    C = rig.num_cameras
+    r = cfg.patch_radius
+    if cover is None:
+        cover = int(2.2 * r) + 8
+    W2 = (2 * r + 1) ** 2
+
+    normal = geom.spherical_to_normal(pos[..., :2])
+    ref_center = rig.center[ref_cam]
+    center = ray[:, None, :] * pos[..., 2:3] + ref_center[:, None, :]
+    facing_bad = jnp.einsum("bpk,bk->bp", normal, rig.optical[ref_cam]) > 0
+    lod_scale = jnp.power(jnp.float32(cfg.lod_ratio), lod.astype(jnp.float32))
+
+    ref_cam_bp = jnp.broadcast_to(ref_cam[:, None], (B, P))
+    H, hok = F._per_camera_homographies(
+        scene, center, normal, ref_cam_bp,
+        jnp.broadcast_to(lod_scale[:, None], (B, P)))         # [B,P,C,3,3]
+
+    # depth-invariant reference-window center (LOD coords)
+    def _proj(Xb, c, s):
+        return geom.project(Xb, rig.R[c], rig.T[c], rig.focal[c],
+                            rig.principal[c], s)[0]
+    pt = jax.vmap(_proj)(center[:, 0], ref_cam, lod_scale)    # [B, 2]
+
+    ref_dims = pyrs.dims[ref_cam, lod].astype(jnp.float32)    # [B, 2]
+    in_ref = ((pt[:, 0] - r >= 2) & (pt[:, 0] + r < ref_dims[:, 1] - 3) &
+              (pt[:, 1] - r >= 2) & (pt[:, 1] + r < ref_dims[:, 0] - 3))
+
+    vals = _run_sampler(scene, cfg, H, pt, lod, (2.0, 3.0), cover,
+                        precise, interpret)                   # [B, C, P, W2]
     vals = jnp.transpose(vals, (0, 2, 3, 1))                  # [B, P, W2, C]
     vok = vals > INVALID / 2
 
     # reference-window foreground mask + weights (per patch, not particle)
-    win = pt[:, None, :] + jnp.asarray(offs_np)[None]         # [B, W2, 2]
+    win = pt[:, None, :] + jnp.asarray(F.window_offsets(r))[None]  # [B,W2,2]
     ref_cam_bw = jnp.broadcast_to(ref_cam[:, None], (B, W2))
     lod_bw = jnp.broadcast_to(lod[:, None], (B, W2))
     ref_int = F.nearest_gather(pyrs.images, ref_cam_bw, lod_bw, win)

@@ -71,6 +71,36 @@ def sobel_magnitude(img: np.ndarray) -> np.ndarray:
     return np.zeros_like(mag)
 
 
+def window_variance_map(img: np.ndarray, radius: int) -> np.ndarray:
+    """Variance of the (2r+1)^2 window centered at each pixel, -1 where the
+    window leaves the image.
+
+    Replaces the reference's per-patch LOD texture scan
+    (Patch::setLOD, TMVS/mvs/patch.cpp:566-591) with an O(1) lookup:
+    identical statistics (population variance over every window pixel,
+    no background masking), precomputed once per pyramid level with
+    separable box sums.
+    """
+    h, w = img.shape
+    k = 2 * radius + 1
+    out = np.full((h, w), -1.0, dtype=np.float64)
+    if h < k or w < k:
+        return out.astype(np.float32)
+    f = img.astype(np.float64)
+
+    def box_sum(a):
+        c = np.cumsum(np.cumsum(a, axis=0), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        return (c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k])
+
+    n = k * k
+    s1 = box_sum(f)
+    s2 = box_sum(f * f)
+    var = s2 / n - (s1 / n) ** 2
+    out[radius:h - radius, radius:w - radius] = np.maximum(var, 0.0)
+    return out.astype(np.float32)
+
+
 def max_lod_for(width: int, height: int, lod_ratio: float, cap: int) -> int:
     """Ref: TMVS/mvs/camera.cpp:63-64."""
     m = int(math.log(max(width, height)) / math.log(1.0 / lod_ratio))
@@ -98,6 +128,19 @@ def build_pyramid(gray0: np.ndarray, lod_ratio: float, max_lod: int):
         edges.append(sobel_magnitude(g).astype(np.float32))
         dims.append((g.shape[0], g.shape[1]))
     return levels, edges, np.asarray(dims, dtype=np.int32)
+
+
+def pack_variance_maps(per_cam_vars, num_levels, hmax, wmax):
+    """Pack per-level variance maps into [C, L, Hp, Wp], padding with -1
+    (= window-out-of-bounds)."""
+    C = len(per_cam_vars)
+    hmax = (hmax + 7) // 8 * 8
+    wmax = (wmax + 127) // 128 * 128
+    out = np.full((C, num_levels, hmax, wmax), -1.0, dtype=np.float32)
+    for c in range(C):
+        for l, v in enumerate(per_cam_vars[c]):
+            out[c, l, :v.shape[0], :v.shape[1]] = v
+    return out
 
 
 def pack_pyramids(per_cam_levels, per_cam_edges, per_cam_dims, num_levels):

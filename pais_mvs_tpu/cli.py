@@ -62,6 +62,15 @@ def _build_reconstructor(path: str, out_dir: str) -> Reconstructor:
             heights = [img.shape[0] for img in images]
             ipts = nvm_io.decenter_image_points(data, widths, heights)
             rec.load_seeds(data.centers, data.cam_masks, ipts, data.colors)
+        else:
+            # no sparse points in the NVM: feature-match our own seeds
+            # (reference FeatureManager fallback, TMVS.cpp:98-103,
+            # epipolar tolerance 3.0 px)
+            from pais_mvs_tpu.features import generate_seed_patches
+            centers, cam_masks, s_ipts, colors = generate_seed_patches(
+                data.cameras, images, cfg, max_epipolar_dist=3.0)
+            if len(centers):
+                rec.load_seeds(centers, cam_masks, s_ipts, colors)
     elif ext == "mvs":
         f = mvsbin.read_mvs(path)
         cfg = _resolve_config(f.config)

@@ -42,7 +42,7 @@ def main():
     except Exception:
         pass
 
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # max_lod=6 keeps the pyramid stack + LOD-search unroll bounded (the
@@ -62,10 +62,16 @@ def main():
     key = jax.random.PRNGKey(0)
     nr = jnp.float32(0.005)
 
+    # NOTE: jax.block_until_ready does NOT reliably block on the tunneled
+    # axon platform — fetch a scalar instead, which forces every queued
+    # dispatch to complete before timing stops.
+    def sync(x):
+        return float(jnp.sum(x))
+
     # compile + warm up
     t0 = time.time()
     res = lc.refine_batch(scene, cfg, pb, key, nr, True, 1)
-    jax.block_until_ready(res.batch.center)
+    sync(res.batch.fitness)
     compile_s = time.time() - t0
     print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
@@ -74,7 +80,7 @@ def main():
     for i in range(reps):
         res = lc.refine_batch(scene, cfg, pb,
                               jax.random.fold_in(key, i), nr, True, 1)
-        jax.block_until_ready(res.batch.center)
+    sync(res.batch.fitness)
     dt = time.time() - t0
     pps = B * reps / dt
 

@@ -49,13 +49,60 @@ def _resolve_config(base: MvsConfig | None = None) -> MvsConfig:
     return cfg
 
 
-def _build_reconstructor(path: str, out_dir: str) -> Reconstructor:
+def _refine_poses(params, images, centers, cam_masks, img_points):
+    """Pose-refinement bundle adjustment over the SfM tracks before dense
+    reconstruction (new scope vs the reference, which trusts VisualSFM
+    poses as-is). Returns (params, centers) updated in place."""
+    import jax.numpy as jnp
+    from pais_mvs_tpu.data.synthetic import rotation_to_quaternion
+    from pais_mvs_tpu.models.camera import _np_quat_to_rotation
+    from pais_mvs_tpu.ops.bundle import BaProblem, bundle_adjust
+
+    C = len(params)
+    Rs, cs, fs, pps = [], [], [], []
+    for i, p in enumerate(params):
+        Rs.append(_np_quat_to_rotation(np.asarray(p.quaternion, float)))
+        cs.append(np.asarray(p.center, float))
+        fs.append(np.asarray(p.focal, float))
+        pp = np.asarray(p.principal, float)
+        if pp[0] < 0 and pp[1] < 0:
+            h, w = images[i].shape[:2]
+            pp = np.array([w >> 1, h >> 1], dtype=float)
+        pps.append(pp)
+    prob = BaProblem(
+        R=jnp.asarray(np.stack(Rs), jnp.float32),
+        center=jnp.asarray(np.stack(cs), jnp.float32),
+        focal=jnp.asarray(np.stack(fs), jnp.float32),
+        principal=jnp.asarray(np.stack(pps), jnp.float32),
+        points=jnp.asarray(centers, jnp.float32),
+        obs=jnp.asarray(img_points, jnp.float32),
+        mask=jnp.asarray(cam_masks))
+    res = bundle_adjust(prob, num_iters=8)
+    h = np.asarray(res.rms_history)
+    print(f"pose refinement: reprojection RMS {h[0]:.3f} -> {h[-1]:.3f} px")
+    Rn = np.asarray(res.R, dtype=float)
+    cn = np.asarray(res.center, dtype=float)
+    for i, p in enumerate(params):
+        p.quaternion = rotation_to_quaternion(Rn[i])
+        p.center = cn[i]
+    return params, np.asarray(res.points, dtype=float)
+
+
+def _build_reconstructor(path: str, out_dir: str,
+                         refine_poses: bool = False) -> Reconstructor:
     ext = path.rsplit(".", 1)[-1].lower()
     base_dir = os.path.dirname(os.path.abspath(path))
     if ext in ("nvm", "nvm2"):
         data = nvm_io.load_nvm(path, nvm2=(ext == "nvm2"))
         cfg = _resolve_config()
         images = _load_images(data.cameras, base_dir)
+        if refine_poses and len(data.centers):
+            widths = [img.shape[1] for img in images]
+            heights = [img.shape[0] for img in images]
+            ipts = nvm_io.decenter_image_points(data, widths, heights)
+            _, new_pts = _refine_poses(data.cameras, images, data.centers,
+                                       data.cam_masks, ipts)
+            data.centers = new_pts
         rec = Reconstructor(data.cameras, images, cfg)
         if len(data.centers):
             widths = [img.shape[1] for img in images]
@@ -83,8 +130,9 @@ def _build_reconstructor(path: str, out_dir: str) -> Reconstructor:
     return rec
 
 
-def run_reconstruct(path: str, out_dir: str = ".") -> None:
-    rec = _build_reconstructor(path, out_dir)
+def run_reconstruct(path: str, out_dir: str = ".",
+                    refine_poses: bool = False) -> None:
+    rec = _build_reconstructor(path, out_dir, refine_poses=refine_poses)
     j = lambda n: os.path.join(out_dir, n)
     t0 = time.time()
     rec.write_mvs(j("init.mvs"))
@@ -148,9 +196,12 @@ def main(argv=None):
     ap.add_argument("-f", metavar="FILE", help="post-filter (.mvs)")
     ap.add_argument("-v", metavar="FILE", help="snapshot view (.mvs)")
     ap.add_argument("-o", "--out-dir", default=".", help="output directory")
+    ap.add_argument("-b", "--refine-poses", action="store_true",
+                    help="bundle-adjust camera poses over the SfM tracks "
+                         "before dense reconstruction")
     args = ap.parse_args(argv)
     if args.r:
-        run_reconstruct(args.r, args.out_dir)
+        run_reconstruct(args.r, args.out_dir, refine_poses=args.refine_poses)
     elif args.f:
         run_filter(args.f, args.out_dir)
     elif args.v:

@@ -131,7 +131,7 @@ def _per_camera_homographies(scene: Scene, center, normal, ref_cam, lod_scale):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def patch_fitness(scene: Scene, cfg: MvsConfig,
-                  ref_cam, cam_mask, lod, ray, pos):
+                  ref_cam, cam_mask, lod, ray, pos, active=None):
     """Score candidate hypotheses.
 
     Args:
@@ -140,9 +140,13 @@ def patch_fitness(scene: Scene, cfg: MvsConfig,
       ref_cam: [B] int32; cam_mask: [B, C] bool; lod: [B] int32;
       ray: [B, 3] unit rays from the reference cameras;
       pos: [B, P, 3] (theta, phi, depth) hypotheses.
+      active: [B] bool or None — accepted for backend interchangeability
+        (the Pallas backend skips inactive swarms; this dense XLA version
+        computes everything regardless).
 
     Returns: [B, P] f32 fitness (lower better; BIG = rejected).
     """
+    del active
     rig, pyrs = scene.rig, scene.pyramids
     B, P, _ = pos.shape
     C = rig.num_cameras

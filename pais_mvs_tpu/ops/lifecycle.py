@@ -334,12 +334,13 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
         hi = jnp.stack([hi_t, normal_sph[:, 1] + span_p, depth_range[:, 1]], -1)
         init = jnp.stack([normal_sph[:, 0], normal_sph[:, 1], depth], -1)
 
-        fit_fn = lambda pos: _fitness_fn(cfg)(
-            scene, cfg, ref_cam, cam_mask, lod, ray, pos)
+        fit_fn = lambda pos, act: _fitness_fn(cfg)(
+            scene, cfg, ref_cam, cam_mask, lod, ray, pos, active=act)
         res = gln_pso(fit_fn, lo.astype(jnp.float32), hi.astype(jnp.float32),
                       init.astype(jnp.float32),
                       jax.random.fold_in(key, rnd),
-                      particle_num=particle_num, max_iteration=max_iteration)
+                      particle_num=particle_num, max_iteration=max_iteration,
+                      active0=valid)
         iters = res.iterations
 
         new_sph = res.gbest[:, :2]

@@ -64,6 +64,20 @@ def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
     P = out_ref.shape[2]
     W2p = out_ref.shape[3]
 
+    # skip the whole cell when the swarm has converged / the patch is dead
+    # (ints slot 3 = active & cam_mask); the unwritten output block is
+    # garbage, which downstream masks out by the same cam_mask and the
+    # PSO's per-swarm done mask
+    act = ints_ref[0, c, 3]
+
+    @pl.when(act != 0)
+    def _cell():
+        _cell_body(ints_ref, flts_ref, images_ref, H_ref, offs_ref, out_ref,
+                   box, sem, c, KY, KX, P, W2p, precision)
+
+
+def _cell_body(ints_ref, flts_ref, images_ref, H_ref, offs_ref, out_ref,
+               box, sem, c, KY, KX, P, W2p, precision):
     # origins are tile-aligned by construction; tell Mosaic so the DMA
     # slice offsets are provably divisible by the (8, 128) tiling
     bx = pl.multiple_of(ints_ref[0, c, 0], 128)
@@ -84,9 +98,15 @@ def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
     mhi = flts_ref[0, c, 5]
 
     cp.wait()
-    box_v = box[:, :]                                         # [KY, KX]
-    T = 256 if W2p % 256 == 0 else 128                        # pixel chunk
-    n_t = W2p // T
+    # one-pass bf16 multiplies unless the caller asked for full f32: the
+    # images are 0..255 intensities, bf16's 8-bit mantissa keeps the
+    # bilinear result within ~0.5 intensity — far below the SAD contrast
+    # PSO ranks on.
+    if precision is None:
+        box_v = box[:, :].astype(jnp.bfloat16)                # [KY, KX]
+    else:
+        box_v = box[:, :]
+    T = W2p                                                   # whole window
     iota_x = jax.lax.broadcasted_iota(jnp.int32, (T, KX), 1) \
         .astype(jnp.float32)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (T, KY), 1) \
@@ -106,56 +126,67 @@ def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
         h7 = H_ref[0, 0, p, 7]
         h8 = H_ref[0, 0, p, 8]
 
-        def per_tile(t, _):
-            o = pl.multiple_of(t * T, T)
-            x = px + offs_ref[pl.ds(o, T), 0]                 # [T]
-            y = py + offs_ref[pl.ds(o, T), 1]
-            wq = h6 * x + h7 * y + h8
-            sw = jnp.where(wq == 0, 1.0, wq)
-            u = (h0 * x + h1 * y + h2) / sw
-            v = (h3 * x + h4 * y + h5) / sw
+        x = px + offs_ref[:, 0]                               # [T]
+        y = py + offs_ref[:, 1]
+        wq = h6 * x + h7 * y + h8
+        sw = jnp.where(wq == 0, 1.0, wq)
+        u = (h0 * x + h1 * y + h2) / sw
+        v = (h3 * x + h4 * y + h5) / sw
 
-            # validity: caller's margins (fitness [2, dim-3), NCC
-            # [0, dim-1)) AND inside the DMA'd box
-            ub = u - bxf
-            vb = v - byf
-            ok = ((wq != 0) & (u >= mlo) & (u < w_img - mhi)
-                  & (v >= mlo) & (v < h_img - mhi)
-                  & (ub >= 0) & (ub <= KX - 2) & (vb >= 0) & (vb <= KY - 2))
+        # validity: caller's margins (fitness [2, dim-3), NCC
+        # [0, dim-1)) AND inside the DMA'd box
+        ub = u - bxf
+        vb = v - byf
+        ok = ((wq != 0) & (u >= mlo) & (u < w_img - mhi)
+              & (v >= mlo) & (v < h_img - mhi)
+              & (ub >= 0) & (ub <= KX - 2) & (vb >= 0) & (vb <= KY - 2))
 
-            # bilinear weights as dense row/col matrices -> MXU
-            Rw = jnp.maximum(1.0 - jnp.abs(ub[:, None] - iota_x), 0.0)
-            Cw = jnp.maximum(1.0 - jnp.abs(vb[:, None] - iota_y), 0.0)
+        # bilinear weights as dense row/col matrices -> one MXU matmul
+        # per particle over the full window (M = W2p keeps the MXU busy)
+        Rw = jnp.maximum(1.0 - jnp.abs(ub[:, None] - iota_x), 0.0)
+        Cw = jnp.maximum(1.0 - jnp.abs(vb[:, None] - iota_y), 0.0)
+        if precision is None:
+            tmp = jax.lax.dot_general(
+                Cw.astype(jnp.bfloat16), box_v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [T, KX]
+        else:
             tmp = jax.lax.dot_general(
                 Cw, box_v, (((1,), (0,)), ((), ())),
                 precision=precision,
                 preferred_element_type=jnp.float32)           # [T, KX]
-            val = jnp.sum(tmp * Rw, axis=1)                   # [T]
-            out_ref[0, 0, p, pl.ds(o, T)] = jnp.where(ok, val, -1e9)
-            return 0
-
-        jax.lax.fori_loop(0, n_t, per_tile, 0)
+        val = jnp.sum(tmp * Rw, axis=1)                       # [T]
+        out_ref[0, 0, p, :] = jnp.where(ok, val, -1e9)
         return 0
 
     jax.lax.fori_loop(0, P, per_particle, 0)
 
 
 def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
-                 cover: int, precise: bool, interpret: bool):
+                 cover: int, precise: bool, interpret: bool, act=None,
+                 cover_y: int | None = None):
     """Launch the sampling kernel.
 
     H: [B, P, C, 3, 3] homographies; pt: [B, 2] reference-window centers
-    (LOD coords); lod: [B]; margins: (lo, hi) bounds margins.
+    (LOD coords); lod: [B]; margins: (lo, hi) bounds margins; act: [B, C]
+    bool — cells to compute (inactive cells emit garbage the caller must
+    mask; None = all).
     Returns warped samples [B, C, P, W2] (INVALID where out of bounds/box).
     """
     pyrs = scene.pyramids
     B, P, C = H.shape[:3]
     r = cfg.patch_radius
     Hp, Wp = pyrs.images.shape[2], pyrs.images.shape[3]
-    KY = min(_round_up(2 * cover + 7, 8), Hp)
+    # y is the matmul contraction dim (zero-padded to the MXU's 128 lanes
+    # regardless), so keep the box SHORT in y — just enough rows for the
+    # warped window footprint — and let x carry the 128-lane alignment
+    if cover_y is None:
+        cover_y = cover
+    KY = min(_round_up(2 * cover_y + 7, 8), (Hp // 8) * 8)
     KX = min(_round_up(2 * cover + 127, 128), Wp)
     W2 = (2 * r + 1) ** 2
     W2p = _round_up(W2, 128)
+    cover_y = (KY - 7) // 2
+    cover_x = (KX - 127) // 2
 
     # box origins: median warped window center over particles, tile-aligned
     # and clamped so the [KY, KX] slab stays inside the padded plane
@@ -166,8 +197,8 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     hwf = hw.astype(jnp.float32)
     cx = jnp.round(ctr[..., 0]).astype(jnp.int32)
     cy = jnp.round(ctr[..., 1]).astype(jnp.int32)
-    bx = jnp.clip(((cx - cover) // 128) * 128, 0, Wp - KX)
-    by = jnp.clip(((cy - cover) // 8) * 8, 0, Hp - KY)
+    bx = jnp.clip(((cx - cover_x) // 128) * 128, 0, Wp - KX)
+    by = jnp.clip(((cy - cover_y) // 8) * 8, 0, Hp - KY)
 
     offs_np = F.window_offsets(r)                             # [W2, 2]
     offs = np.full((W2p, 2), 1e7, dtype=np.float32)           # pad -> invalid
@@ -178,7 +209,11 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
 
     # pack the per-(patch, view) scalars into two small SMEM arrays
     lod_bc = jnp.broadcast_to(lod[:, None], (B, C))
-    ints = jnp.stack([bx, by, lod_bc, jnp.zeros_like(bx)], axis=-1)
+    if act is None:
+        act_i = jnp.ones((B, C), dtype=jnp.int32)
+    else:
+        act_i = act.astype(jnp.int32)
+    ints = jnp.stack([bx, by, lod_bc, act_i], axis=-1)
     mlo = jnp.full((B, C, 1), margins[0], dtype=jnp.float32)
     mhi = jnp.full((B, C, 1), margins[1], dtype=jnp.float32)
     flts = jnp.concatenate(
@@ -206,11 +241,9 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
         ],
     )
 
-    # MXU default multiplies in bf16 (fitness noise ~0.02 intensity units,
-    # harmless to PSO ordering at texture contrast); precise=True forces
-    # full-f32 multiplies at ~3x the MXU passes.
-    prec = (jax.lax.Precision.HIGHEST if precise
-            else jax.lax.Precision.DEFAULT)
+    # precision None -> explicit bf16 operands (single MXU pass);
+    # precise=True -> full-f32 multiplies at ~3x the MXU passes.
+    prec = jax.lax.Precision.HIGHEST if precise else None
     vals = pl.pallas_call(
         functools.partial(_sample_kernel, precision=prec),
         grid_spec=grid_spec,
@@ -236,6 +269,7 @@ def warped_patch_vectors_pallas(scene: Scene, cfg: MvsConfig,
     r = cfg.patch_radius
     if cover is None:
         cover = int(2.2 * r) + 8
+    cover_y = int(1.6 * r) + 10
     lod_scale = jnp.power(jnp.float32(cfg.lod_ratio), lod.astype(jnp.float32))
     H, hok = F._per_camera_homographies(scene, center, normal, ref_cam,
                                         lod_scale)            # [B, C, 3, 3]
@@ -246,13 +280,16 @@ def warped_patch_vectors_pallas(scene: Scene, cfg: MvsConfig,
     pt = jax.vmap(_proj)(center, ref_cam, lod_scale)          # [B, 2]
 
     vals = _run_sampler(scene, cfg, H[:, None], pt, lod, (0.0, 1.0),
-                        cover, precise, interpret)            # [B, C, 1, W2]
+                        cover, precise, interpret,
+                        act=cam_mask, cover_y=cover_y)        # [B, C, 1, W2]
     vals = vals[:, :, 0, :]                                   # [B, C, W2]
     vok = vals > INVALID / 2
     ok = jnp.all(jnp.all(vok, axis=-1) | ~cam_mask, axis=-1)
     ok &= jnp.all(hok | ~cam_mask, axis=-1)
 
-    vecs = jnp.where(vok, vals, 0.0)
+    # masked cams' cells were skipped in the kernel and hold garbage —
+    # zero them before the NCC normalization
+    vecs = jnp.where(vok & cam_mask[:, :, None], vals, 0.0)
     return F.ncc_from_vectors(vecs, cam_mask, ok)
 
 
@@ -260,6 +297,7 @@ def warped_patch_vectors_pallas(scene: Scene, cfg: MvsConfig,
                    static_argnames=("cfg", "cover", "interpret", "precise"))
 def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
                          ref_cam, cam_mask, lod, ray, pos,
+                         active=None,
                          cover: int | None = None, interpret: bool = False,
                          precise: bool = False):
     """Drop-in replacement for ops.fitness.patch_fitness (same contract,
@@ -277,6 +315,7 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     r = cfg.patch_radius
     if cover is None:
         cover = int(2.2 * r) + 8
+    cover_y = int(1.6 * r) + 10
     W2 = (2 * r + 1) ** 2
 
     normal = geom.spherical_to_normal(pos[..., :2])
@@ -300,8 +339,12 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     in_ref = ((pt[:, 0] - r >= 2) & (pt[:, 0] + r < ref_dims[:, 1] - 3) &
               (pt[:, 1] - r >= 2) & (pt[:, 1] + r < ref_dims[:, 0] - 3))
 
+    # skip converged swarms (their fitness is ignored by the PSO) and
+    # invisible cameras entirely — the kernel leaves those cells unwritten
+    act = cam_mask if active is None else (active[:, None] & cam_mask)
     vals = _run_sampler(scene, cfg, H, pt, lod, (2.0, 3.0), cover,
-                        precise, interpret)                   # [B, C, P, W2]
+                        precise, interpret, act=act,
+                        cover_y=cover_y)                      # [B, C, P, W2]
     vals = jnp.transpose(vals, (0, 2, 3, 1))                  # [B, P, W2, C]
     vok = vals > INVALID / 2
 
@@ -313,12 +356,15 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     fg = (ref_int != 0)[:, None, :]                           # [B, 1, W2]
 
     m = cam_mask[:, None, None, :]
-    mf = m.astype(vals.dtype)
     cam_num = jnp.sum(cam_mask, axis=-1).astype(vals.dtype)
     cn = cam_num[:, None, None]
-    vals_z = jnp.where(vok, vals, 0.0)
-    mean = jnp.sum(vals_z * mf, axis=-1) / cn
-    sad = jnp.sum(jnp.abs(vals_z - mean[..., None]) * mf, axis=-1) / cn
+    # mask by vok AND cam_mask: skipped cells hold garbage (possibly inf,
+    # where a bare *0 would make NaN)
+    use = vok & m
+    uf = use.astype(vals.dtype)
+    vals_z = jnp.where(use, vals, 0.0)
+    mean = jnp.sum(vals_z, axis=-1) / cn
+    sad = jnp.sum(jnp.abs(vals_z - mean[..., None]) * uf, axis=-1) / cn
 
     pix_ok = jnp.all(vok | ~m, axis=-1)                       # [B, P, W2]
     cand_ok = jnp.all(pix_ok | ~fg, axis=-1)

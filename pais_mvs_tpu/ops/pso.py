@@ -73,14 +73,19 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
             convergence_threshold: float = 0.01,
             iw: float = 0.8, pw: float = 1.2, gw: float = 1.5,
             lw: float = 1.0, nw: float = 1.0, local_k: int = 5,
-            min_iw: float = 0.4) -> PsoResult:
+            min_iw: float = 0.4, active0=None) -> PsoResult:
     """Run B swarms of ``particle_num`` particles for <= max_iteration steps.
 
     Args:
-      fit_fn: pos [B, P, D] -> fitness [B, P] (lower is better).
+      fit_fn: (pos [B, P, D], active [B] bool) -> fitness [B, P] (lower is
+        better). ``active`` marks swarms whose result will be used this
+        iteration — backends may skip inactive swarms and return garbage
+        rows for them.
       range_l / range_u: [B, D] per-swarm bounds.
       init: [B, D] incumbent seeded into particle 0 (pos and pBest), or None.
       key: jax PRNG key.
+      active0: [B] bool or None — swarms to optimize at all (dead patches
+        skip every evaluation).
 
     Returns: PsoResult.
     """
@@ -88,6 +93,18 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
     P = particle_num
     K = min(local_k, P)
     inter = range_u - range_l
+    if active0 is None:
+        active0 = jnp.ones((B,), dtype=bool)
+
+    # accept plain pos-only fitness functions (tests, external users)
+    import inspect
+    try:
+        n_params = len(inspect.signature(fit_fn).parameters)
+    except (TypeError, ValueError):
+        n_params = 2
+    if n_params < 2:
+        inner = fit_fn
+        fit_fn = lambda pos, act: inner(pos)
 
     k_pos, k_vel, key = jax.random.split(key, 3)
     pos = range_l[:, None] + inter[:, None] * jax.random.uniform(k_pos, (B, P, D))
@@ -95,7 +112,8 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
     if init is not None:
         pos = pos.at[:, 0, :].set(init)
 
-    fit = fit_fn(pos)
+    fit = fit_fn(pos, active0)
+    fit = jnp.where(active0[:, None], fit, jnp.inf)
     pbest = pos
     pbest_fit = fit
     gi = jnp.argmin(pbest_fit, axis=-1)
@@ -120,7 +138,7 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
         velix = jnp.mean(jnp.abs(c.vel), axis=(1, 2))
         done = c.done | ((disp < convergence_threshold) &
                          (velix < convergence_threshold))
-        active = ~done
+        active = ~done & active0
 
         kk = jax.random.fold_in(key, it)
         kp, kg, kl, kn = jax.random.split(kk, 4)
@@ -144,7 +162,7 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
         pos2 = jnp.where(a3, pos_new, c.pos)
         vel2 = jnp.where(a3, vel_new, c.vel)
 
-        f = fit_fn(pos2)
+        f = fit_fn(pos2, active)
         better = (f < c.pbest_fit) & active[:, None]
         pbest2 = jnp.where(better[..., None], pos2, c.pbest)
         pbest_fit2 = jnp.where(better, f, c.pbest_fit)

@@ -166,7 +166,7 @@ def sharded_pso_refine(rig: CameraRig, images, edges, dims_glob,
     def body(rig_r, images_loc, edges_loc, dims_g, ref_cam, cam_mask, lod,
              ray, lo, hi, init, key):
         pk = jax.random.fold_in(key, jax.lax.axis_index(PATCH_AXIS))
-        fit_fn = lambda pos: _local_view_fitness(
+        fit_fn = lambda pos, act: _local_view_fitness(
             rig_r, images_loc, edges_loc, dims_g, cfg, c_local,
             ref_cam, cam_mask, lod, ray, pos)
         return gln_pso(fit_fn, lo, hi, init, pk,

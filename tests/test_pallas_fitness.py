@@ -35,14 +35,21 @@ def problem(tiny_scene, tiny_built, tiny_cfg):
 def test_pallas_matches_jnp_reference(problem, tiny_cfg):
     scene, ref, cm, lod, rays, pos = problem
     a = np.asarray(F.patch_fitness(scene, tiny_cfg, ref, cm, lod, rays, pos))
+    # precise=True: full-f32 multiplies, strict parity
     b = np.asarray(patch_fitness_pallas(scene, tiny_cfg, ref, cm, lod, rays,
-                                        pos, interpret=True))
+                                        pos, interpret=True, precise=True))
     big_a = a >= 1e20
     big_b = b >= 1e20
     np.testing.assert_array_equal(big_a, big_b)
     both = ~big_a
     assert both.sum() > 20
     np.testing.assert_allclose(b[both], a[both], rtol=1e-4, atol=1e-4)
+    # default path: single-pass bf16 multiplies — intensity-scale tolerance
+    # (~0.5/255 per sample, documented approximation)
+    c = np.asarray(patch_fitness_pallas(scene, tiny_cfg, ref, cm, lod, rays,
+                                        pos, interpret=True))
+    np.testing.assert_array_equal(big_a, c >= 1e20)
+    np.testing.assert_allclose(c[both], a[both], rtol=0.08, atol=0.08)
 
 
 def test_pallas_gradient_weighting_matches(problem, tiny_cfg):
@@ -51,7 +58,7 @@ def test_pallas_gradient_weighting_matches(problem, tiny_cfg):
                            adaptive_distance_enable=False)
     a = np.asarray(F.patch_fitness(scene, cfg, ref, cm, lod, rays, pos))
     b = np.asarray(patch_fitness_pallas(scene, cfg, ref, cm, lod, rays, pos,
-                                        interpret=True))
+                                        interpret=True, precise=True))
     both = (a < 1e20) & (b < 1e20)
     assert both.sum() > 20
     np.testing.assert_allclose(b[both], a[both], rtol=1e-4, atol=1e-4)
@@ -63,7 +70,23 @@ def test_pallas_respects_lod(problem, tiny_cfg):
     lod1 = jnp.ones(B, dtype=jnp.int32)
     a = np.asarray(F.patch_fitness(scene, tiny_cfg, ref, cm, lod1, rays, pos))
     b = np.asarray(patch_fitness_pallas(scene, tiny_cfg, ref, cm, lod1, rays,
-                                        pos, interpret=True))
+                                        pos, interpret=True, precise=True))
     both = (a < 1e20) & (b < 1e20)
     assert both.sum() > 10
     np.testing.assert_allclose(b[both], a[both], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_active_mask_skips_cells(problem, tiny_cfg):
+    """Inactive swarms' rows are garbage, but active swarms' fitness must be
+    bit-identical to the all-active call (kernel cell skipping)."""
+    scene, ref, cm, lod, rays, pos = problem
+    B = pos.shape[0]
+    active = jnp.asarray(np.arange(B) % 2 == 0)
+    full = np.asarray(patch_fitness_pallas(scene, tiny_cfg, ref, cm, lod,
+                                           rays, pos, interpret=True))
+    part = np.asarray(patch_fitness_pallas(scene, tiny_cfg, ref, cm, lod,
+                                           rays, pos, active=active,
+                                           interpret=True))
+    act = np.asarray(active)
+    np.testing.assert_array_equal(part[act], full[act])
+    assert np.all(np.isfinite(full))

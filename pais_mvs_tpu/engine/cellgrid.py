@@ -32,6 +32,10 @@ class CellGrids:
         return (int(img_point[0] / self.cell_size),
                 int(img_point[1] / self.cell_size))
 
+    def all_keys(self):
+        """Sorted (cam, cx, cy) keys of every non-empty cell."""
+        return sorted(k for k, v in self.cells.items() if v)
+
     def insert(self, cam: int, cx: int, cy: int, pid: int) -> None:
         self.cells.setdefault((cam, cx, cy), []).append(pid)
 

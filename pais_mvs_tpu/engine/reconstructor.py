@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from pais_mvs_tpu.config import MvsConfig
 from pais_mvs_tpu.engine.arena import PatchArena
 from pais_mvs_tpu.engine.cellgrid import CellGrids
+from pais_mvs_tpu import native as native_rt
 from pais_mvs_tpu.models import patch as patch_mod
 from pais_mvs_tpu.models.camera import CameraParams, Scene, build_scene
 from pais_mvs_tpu.models.patch import PatchBatch
@@ -36,10 +37,15 @@ from pais_mvs_tpu.io.pointcloud import write_ply, write_psr
 class Reconstructor:
     def __init__(self, params: Sequence[CameraParams],
                  images: Sequence[np.ndarray], cfg: MvsConfig,
-                 verbose: bool = True):
+                 verbose: bool = True, use_native: Optional[bool] = None):
         self.cfg = cfg
         self.params = list(params)
         self.verbose = verbose
+        # native C++ host runtime (cell grids + candidate generation +
+        # neighbour counting); falls back to pure Python when the shared
+        # library is unavailable
+        self.use_native = (native_rt.available() if use_native is None
+                           else (use_native and native_rt.available()))
         self.scene: Scene = build_scene(params, images, cfg)
         self.widths = [img.shape[1] for img in images]
         self.heights = [img.shape[0] for img in images]
@@ -255,11 +261,19 @@ class Reconstructor:
         mask[lacking] |= fallback[lacking]
         return mask
 
+    def _grids_build(self):
+        cls = (native_rt.NativeCellGrids if self.use_native else CellGrids)
+        return cls.build(self.arena, self.widths, self.heights,
+                         self.cfg.cell_size)
+
     def _insert_time_cell_filter(self, cam_mask, img_points) -> bool:
         """The cell-density clause of MVS::runtimeFiltering
         (mvs.cpp:877-895) applied at insertion time: reject when EVERY
         visible view's target cell is already full."""
         cfg = self.cfg
+        if self.use_native:
+            return self.grids.insert_time_filter(cam_mask, img_points,
+                                                 cfg.max_cell_patch_num)
         full = 0
         cams = np.nonzero(cam_mask)[0]
         for cam in cams:
@@ -269,14 +283,56 @@ class Reconstructor:
                 full += 1
         return full < len(cams)
 
+    def _generate_candidates(self, parents):
+        """Per-round candidate cells: (parent, cam, cx, cy) arrays after
+        skipNeighborCell + the per-round cell budget (mvs.cpp:529-564,
+        792-807). Native C++ fast path with a pure-Python mirror."""
+        cfg = self.cfg
+        a = self.arena
+        if self.use_native:
+            n = a.count
+            return self.grids.candidates(
+                parents, a.data["center"][:n], a.data["normal_sph"][:n],
+                a.data["correlation"][:n], a.alive[:n],
+                a.data["cam_mask"][:n], a.data["img_point"][:n],
+                cfg.min_correlation, self.neighbor_radius,
+                cfg.max_cell_patch_num)
+        cand_parent, cand_cam, cand_cx, cand_cy = [], [], [], []
+        seen_cells = {}
+        for pid in parents:
+            mask = a.data["cam_mask"][pid]
+            ipts = a.data["img_point"][pid]
+            for cam in np.nonzero(mask)[0]:
+                cam = int(cam)
+                cx, cy = self.grids.cell_of(ipts[cam])
+                for nx, ny in ((cx - 1, cy), (cx, cy - 1),
+                               (cx + 1, cy), (cx, cy + 1)):
+                    if not self.grids.in_map(cam, nx, ny):
+                        continue
+                    occ = self.grids.cell(cam, nx, ny)
+                    if self._skip_neighbor_cell(occ, int(pid)):
+                        continue
+                    key = (cam, nx, ny)
+                    cnt = seen_cells.get(key, len(occ))
+                    if cnt >= cfg.max_cell_patch_num:
+                        continue
+                    seen_cells[key] = cnt + 1
+                    cand_parent.append(int(pid))
+                    cand_cam.append(cam)
+                    cand_cx.append(nx)
+                    cand_cy.append(ny)
+        return (np.asarray(cand_parent, dtype=np.int64),
+                np.asarray(cand_cam, dtype=np.int32),
+                np.asarray(cand_cx, dtype=np.int32),
+                np.asarray(cand_cy, dtype=np.int32))
+
     def expand(self, max_rounds: int = 10_000,
                autosave_path: Optional[str] = None) -> int:
         """Wavefront expansion (MVS::expansionPatches, mvs.cpp:233-275).
         Returns total patch count."""
         cfg = self.cfg
         a = self.arena
-        self.grids = CellGrids.build(a, self.widths, self.heights,
-                                     cfg.cell_size)
+        self.grids = self._grids_build()
         self._update_neighbor_radius()
         t0 = time.time()
         total_refined = 0
@@ -291,31 +347,9 @@ class Reconstructor:
             a.expanded[parents] = True
 
             # candidate generation over 4-neighbour cells of every view
-            cand_parent, cand_cam, cand_cx, cand_cy = [], [], [], []
-            seen_cells = {}
-            for pid in parents:
-                mask = a.data["cam_mask"][pid]
-                ipts = a.data["img_point"][pid]
-                for cam in np.nonzero(mask)[0]:
-                    cam = int(cam)
-                    cx, cy = self.grids.cell_of(ipts[cam])
-                    for nx, ny in ((cx - 1, cy), (cx, cy - 1),
-                                   (cx + 1, cy), (cx, cy + 1)):
-                        if not self.grids.in_map(cam, nx, ny):
-                            continue
-                        occ = self.grids.cell(cam, nx, ny)
-                        if self._skip_neighbor_cell(occ, int(pid)):
-                            continue
-                        key = (cam, nx, ny)
-                        cnt = seen_cells.get(key, len(occ))
-                        if cnt >= cfg.max_cell_patch_num:
-                            continue
-                        seen_cells[key] = cnt + 1
-                        cand_parent.append(int(pid))
-                        cand_cam.append(cam)
-                        cand_cx.append(nx)
-                        cand_cy.append(ny)
-            if not cand_parent:
+            cand_parent, cand_cam, cand_cx, cand_cy = \
+                self._generate_candidates(parents)
+            if len(cand_parent) == 0:
                 continue
 
             centers = self._expansion_centers(cand_cam, cand_cx, cand_cy,
@@ -378,8 +412,7 @@ class Reconstructor:
     def _ensure_grids(self):
         if self.grids is None:
             self._update_neighbor_radius()
-            self.grids = CellGrids.build(self.arena, self.widths,
-                                         self.heights, self.cfg.cell_size)
+            self.grids = self._grids_build()
 
     def _delete(self, pid: int):
         a = self.arena
@@ -394,8 +427,8 @@ class Reconstructor:
         self._ensure_grids()
         a = self.arena
         removed = 0
-        for key in sorted(self.grids.cells.keys()):
-            occ = [p for p in self.grids.cells[key] if a.alive[p]]
+        for key in self.grids.all_keys():
+            occ = [p for p in self.grids.cell(*key) if a.alive[p]]
             if len(occ) < 2:
                 continue
             corr = a.data["correlation"][occ]
@@ -444,9 +477,9 @@ class Reconstructor:
         self._ensure_grids()
         a = self.arena
         removed = 0
-        for key in sorted(self.grids.cells.keys()):
+        for key in self.grids.all_keys():
             cam, x, y = key
-            occ = [p for p in self.grids.cells[key] if a.alive[p]]
+            occ = [p for p in self.grids.cell(*key) if a.alive[p]]
             kill = []
             for pid in occ:
                 c1 = a.data["center"][pid]
@@ -484,14 +517,19 @@ class Reconstructor:
         ids = a.live_ids()
         if len(ids) == 0:
             return 0
-        centers = a.data["center"][ids]
-        N = len(ids)
-        counts = np.zeros(N, dtype=np.int64)
-        chunk = max(1, int(2e7 / max(N, 1)))
-        for s in range(0, N, chunk):
-            d = np.linalg.norm(centers[s:s + chunk, None, :]
-                               - centers[None, :, :], axis=-1)
-            counts[s:s + chunk] = (d <= self.neighbor_radius).sum(axis=1) - 1
+        if self.use_native:
+            counts = native_rt.neighbor_counts(a.data["center"], ids,
+                                               self.neighbor_radius)
+        else:
+            centers = a.data["center"][ids]
+            N = len(ids)
+            counts = np.zeros(N, dtype=np.int64)
+            chunk = max(1, int(2e7 / max(N, 1)))
+            for s in range(0, N, chunk):
+                d = np.linalg.norm(centers[s:s + chunk, None, :]
+                                   - centers[None, :, :], axis=-1)
+                counts[s:s + chunk] = \
+                    (d <= self.neighbor_radius).sum(axis=1) - 1
         avg = counts.mean()
         kill = ids[counts < avg * neighbor_ratio]
         for p in kill:

@@ -1,0 +1,200 @@
+"""ctypes binding for the native host runtime (native/runtime.cpp).
+
+The shared library is built lazily with g++ on first import (cached next
+to the source); if the toolchain or build is unavailable, ``LIB`` is None
+and callers fall back to the pure-Python paths — the native runtime is a
+host-side accelerator, never a correctness requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "runtime.cpp")
+_SO = os.path.join(_DIR, "libtmvs_runtime.so")
+
+LIB = None
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if r.returncode != 0:
+            sys.stderr.write(f"[native] build failed:\n{r.stderr}\n")
+            return False
+        return True
+    except (OSError, subprocess.TimeoutExpired) as e:
+        sys.stderr.write(f"[native] build unavailable: {e}\n")
+        return False
+
+
+def _load():
+    global LIB
+    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                   os.path.getmtime(_SO)
+                                   < os.path.getmtime(_SRC)):
+        if not _build():
+            return
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        sys.stderr.write(f"[native] load failed: {e}\n")
+        return
+
+    c = ctypes
+    dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+    lib.tg_create.restype = c.c_void_p
+    lib.tg_create.argtypes = [c.c_int, i32p, i32p, c.c_int]
+    lib.tg_destroy.argtypes = [c.c_void_p]
+    lib.tg_grid_dims.restype = c.c_int
+    lib.tg_grid_dims.argtypes = [c.c_void_p, c.c_int,
+                                 c.POINTER(c.c_int), c.POINTER(c.c_int)]
+    lib.tg_insert_patch.argtypes = [c.c_void_p, c.c_int, u8p, dp]
+    lib.tg_remove_patch.argtypes = [c.c_void_p, c.c_int, u8p, dp]
+    lib.tg_cell_count.restype = c.c_int
+    lib.tg_cell_count.argtypes = [c.c_void_p, c.c_int, c.c_int, c.c_int]
+    lib.tg_all_cells.restype = c.c_int
+    lib.tg_all_cells.argtypes = [c.c_void_p, i32p, i32p, i32p, c.c_int]
+    lib.tg_cell_ids.restype = c.c_int
+    lib.tg_cell_ids.argtypes = [c.c_void_p, c.c_int, c.c_int, c.c_int,
+                                i32p, c.c_int]
+    lib.tg_insert_time_filter.restype = c.c_int
+    lib.tg_insert_time_filter.argtypes = [c.c_void_p, u8p, dp, c.c_int]
+    lib.tg_candidates.restype = c.c_int
+    lib.tg_candidates.argtypes = [
+        c.c_void_p, i64p, c.c_int, dp, dp, dp, u8p, u8p, dp,
+        c.c_double, c.c_double, c.c_int, i64p, i32p, i32p, i32p, c.c_int]
+    lib.tg_neighbor_counts.argtypes = [dp, i64p, c.c_int, c.c_double, i64p]
+
+    LIB = lib
+
+
+_load()
+
+
+def available() -> bool:
+    return LIB is not None
+
+
+class NativeCellGrids:
+    """Drop-in counterpart of engine.cellgrid.CellGrids backed by C++."""
+
+    def __init__(self, widths, heights, cell_size: int):
+        assert LIB is not None
+        self.cell_size = cell_size
+        self._w = np.asarray(widths, dtype=np.int32)
+        self._h = np.asarray(heights, dtype=np.int32)
+        self._g = LIB.tg_create(len(self._w), self._w, self._h, cell_size)
+        self.width = [(w + cell_size - 1) // cell_size for w in self._w]
+        self.height = [(h + cell_size - 1) // cell_size for h in self._h]
+
+    def __del__(self):
+        if LIB is not None and getattr(self, "_g", None):
+            LIB.tg_destroy(self._g)
+            self._g = None
+
+    def in_map(self, cam: int, cx: int, cy: int) -> bool:
+        return 0 <= cx < self.width[cam] and 0 <= cy < self.height[cam]
+
+    def cell_of(self, img_point):
+        return (int(img_point[0] / self.cell_size),
+                int(img_point[1] / self.cell_size))
+
+    def cell(self, cam: int, cx: int, cy: int):
+        n = LIB.tg_cell_count(self._g, cam, cx, cy)
+        if n == 0:
+            return []
+        out = np.empty(n, dtype=np.int32)
+        n = LIB.tg_cell_ids(self._g, cam, cx, cy, out, n)
+        return out[:n].tolist()
+
+    def cell_count(self, cam: int, cx: int, cy: int) -> int:
+        return LIB.tg_cell_count(self._g, cam, cx, cy)
+
+    def all_keys(self):
+        """Sorted (cam, cx, cy) keys of every non-empty cell."""
+        n = LIB.tg_all_cells(self._g, np.empty(0, np.int32),
+                             np.empty(0, np.int32), np.empty(0, np.int32), 0)
+        if n == 0:
+            return []
+        oc = np.empty(n, np.int32)
+        ox = np.empty(n, np.int32)
+        oy = np.empty(n, np.int32)
+        n = LIB.tg_all_cells(self._g, oc, ox, oy, n)
+        keys = sorted(zip(oc.tolist(), ox.tolist(), oy.tolist()))
+        return keys
+
+    def insert_patch(self, pid: int, cam_mask, img_points) -> None:
+        LIB.tg_insert_patch(
+            self._g, int(pid),
+            np.ascontiguousarray(cam_mask, dtype=np.uint8),
+            np.ascontiguousarray(img_points, dtype=np.float64))
+
+    def remove_patch(self, pid: int, cam_mask, img_points) -> None:
+        LIB.tg_remove_patch(
+            self._g, int(pid),
+            np.ascontiguousarray(cam_mask, dtype=np.uint8),
+            np.ascontiguousarray(img_points, dtype=np.float64))
+
+    def insert_time_filter(self, cam_mask, img_points,
+                           max_cell_patch_num: int) -> bool:
+        return bool(LIB.tg_insert_time_filter(
+            self._g, np.ascontiguousarray(cam_mask, dtype=np.uint8),
+            np.ascontiguousarray(img_points, dtype=np.float64),
+            max_cell_patch_num))
+
+    def candidates(self, parents, centers, normal_sph, correlation, alive,
+                   cam_mask, img_pts, min_correlation: float,
+                   neighbor_radius: float, max_cell_patch_num: int):
+        """Whole-wavefront candidate generation (see tg_candidates)."""
+        parents = np.ascontiguousarray(parents, dtype=np.int64)
+        cap = max(len(parents) * cam_mask.shape[1] * 4, 64)
+        while True:
+            op = np.empty(cap, dtype=np.int64)
+            oc = np.empty(cap, dtype=np.int32)
+            ox = np.empty(cap, dtype=np.int32)
+            oy = np.empty(cap, dtype=np.int32)
+            n = LIB.tg_candidates(
+                self._g, parents, len(parents),
+                np.ascontiguousarray(centers, dtype=np.float64),
+                np.ascontiguousarray(normal_sph, dtype=np.float64),
+                np.ascontiguousarray(correlation, dtype=np.float64),
+                np.ascontiguousarray(alive, dtype=np.uint8),
+                np.ascontiguousarray(cam_mask, dtype=np.uint8),
+                np.ascontiguousarray(img_pts, dtype=np.float64),
+                float(min_correlation), float(neighbor_radius),
+                int(max_cell_patch_num), op, oc, ox, oy, cap)
+            if n >= 0:
+                return op[:n], oc[:n], ox[:n], oy[:n]
+            cap *= 2
+
+    @staticmethod
+    def build(arena, widths, heights, cell_size: int) -> "NativeCellGrids":
+        g = NativeCellGrids(widths, heights, cell_size)
+        for pid in arena.live_ids():
+            g.insert_patch(int(pid), arena.data["cam_mask"][pid],
+                           arena.data["img_point"][pid])
+        return g
+
+
+def neighbor_counts(centers: np.ndarray, ids: np.ndarray,
+                    radius: float) -> np.ndarray:
+    """Euclidean neighbour counts within radius, grid-hashed (C++)."""
+    assert LIB is not None
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    out = np.zeros(len(ids), dtype=np.int64)
+    LIB.tg_neighbor_counts(
+        np.ascontiguousarray(centers, dtype=np.float64), ids, len(ids),
+        float(radius), out)
+    return out

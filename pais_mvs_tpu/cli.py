@@ -90,6 +90,8 @@ def _refine_poses(params, images, centers, cam_masks, img_points):
 
 def _build_reconstructor(path: str, out_dir: str,
                          refine_poses: bool = False) -> Reconstructor:
+    from pais_mvs_tpu.io.logmanager import LogManager
+    logger = LogManager(os.path.join(out_dir, "log.txt"))
     ext = path.rsplit(".", 1)[-1].lower()
     base_dir = os.path.dirname(os.path.abspath(path))
     if ext in ("nvm", "nvm2"):
@@ -103,7 +105,7 @@ def _build_reconstructor(path: str, out_dir: str,
             _, new_pts = _refine_poses(data.cameras, images, data.centers,
                                        data.cam_masks, ipts)
             data.centers = new_pts
-        rec = Reconstructor(data.cameras, images, cfg)
+        rec = Reconstructor(data.cameras, images, cfg, logger=logger)
         if len(data.centers):
             widths = [img.shape[1] for img in images]
             heights = [img.shape[0] for img in images]
@@ -122,7 +124,7 @@ def _build_reconstructor(path: str, out_dir: str,
         f = mvsbin.read_mvs(path)
         cfg = _resolve_config(f.config)
         images = _load_images(f.cameras, base_dir)
-        rec = Reconstructor(f.cameras, images, cfg)
+        rec = Reconstructor(f.cameras, images, cfg, logger=logger)
         if len(f.patches.centers):
             rec.load_seeds_from_mvs(f.patches)
     else:
@@ -169,10 +171,13 @@ def run_filter(path: str, out_dir: str = ".") -> None:
     print(f"time1\t{time.time() - t0:f}")
 
 
-def run_view(path: str, out_dir: str = ".") -> None:
+def run_view(path: str, out_dir: str = ".",
+             patch_id: int | None = None) -> None:
     """Offline replacement for the PCL viewer: dump a PLY snapshot + stats
     (interactive parity is out of scope; PLY opens in MeshLab as the
-    reference README suggests)."""
+    reference README suggests). With ``patch_id``, additionally save the
+    picked patch's warped-window mosaic + SAD heat-map (the viewer's
+    point-pick diagnostics, view/mvsviewer.cpp:441-471)."""
     f = mvsbin.read_mvs(path)
     p = f.patches
     st = np.sin(p.normal_sph[:, 0])
@@ -187,6 +192,40 @@ def run_view(path: str, out_dir: str = ".") -> None:
           f"correlation: mean {p.correlation.mean():.4f}")
     print(f"wrote {out}")
 
+    if patch_id is not None:
+        from pais_mvs_tpu.diagnostics import save_patch_diagnostics
+        base_dir = os.path.dirname(os.path.abspath(path))
+        cfg = _resolve_config(f.config)
+        images = _load_images(f.cameras, base_dir)
+        rec = Reconstructor(f.cameras, images, cfg, verbose=False)
+        rec.load_seeds_from_mvs(f.patches)
+        pb = rec._seed_pb
+        i = int(patch_id)
+        if not (0 <= i < len(p.centers)):
+            raise SystemExit(f"patch id {i} out of range")
+        save_patch_diagnostics(
+            rec.scene, cfg, np.asarray(pb.center)[i],
+            np.asarray(pb.normal_sph)[i], int(np.asarray(pb.ref_cam)[i]),
+            np.asarray(pb.cam_mask)[i], int(np.asarray(pb.lod)[i]),
+            out_dir, i, fitness=float(p.fitness[i]))
+
+
+def run_animate(path: str, out_dir: str = ".") -> None:
+    """Insertion-order replay export (the reference's -a animate mode,
+    TMVS.cpp:66-74 / view/mvsviewer.cpp:258-265): a PLY with a per-point
+    ``order`` scalar — color by it to watch the reconstruction grow."""
+    from pais_mvs_tpu.diagnostics import write_animate_ply
+    f = mvsbin.read_mvs(path)
+    p = f.patches
+    st = np.sin(p.normal_sph[:, 0])
+    normals = np.stack([st * np.cos(p.normal_sph[:, 1]),
+                        st * np.sin(p.normal_sph[:, 1]),
+                        np.cos(p.normal_sph[:, 0])], -1)
+    out = os.path.join(out_dir, "animate.ply")
+    write_animate_ply(out, p.centers, normals,
+                      np.full((len(p.centers), 3), 200.0))
+    print(f"wrote {out} ({len(p.centers)} patches in insertion order)")
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(
@@ -195,20 +234,40 @@ def main(argv=None):
     ap.add_argument("-r", metavar="FILE", help="reconstruct (.nvm/.nvm2/.mvs)")
     ap.add_argument("-f", metavar="FILE", help="post-filter (.mvs)")
     ap.add_argument("-v", metavar="FILE", help="snapshot view (.mvs)")
+    ap.add_argument("-a", metavar="FILE",
+                    help="animate: insertion-order replay PLY (.mvs)")
     ap.add_argument("-o", "--out-dir", default=".", help="output directory")
     ap.add_argument("-b", "--refine-poses", action="store_true",
                     help="bundle-adjust camera poses over the SfM tracks "
                          "before dense reconstruction")
+    ap.add_argument("--patch-id", type=int, default=None,
+                    help="with -v: dump the patch's warped-window mosaic "
+                         "and SAD heat-map PNGs")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the run into DIR")
     args = ap.parse_args(argv)
-    if args.r:
-        run_reconstruct(args.r, args.out_dir, refine_poses=args.refine_poses)
-    elif args.f:
-        run_filter(args.f, args.out_dir)
-    elif args.v:
-        run_view(args.v, args.out_dir)
-    else:
-        ap.print_help()
-        return 1
+
+    profile_cm = None
+    if args.profile:
+        import jax
+        profile_cm = jax.profiler.trace(args.profile)
+        profile_cm.__enter__()
+    try:
+        if args.r:
+            run_reconstruct(args.r, args.out_dir,
+                            refine_poses=args.refine_poses)
+        elif args.f:
+            run_filter(args.f, args.out_dir)
+        elif args.v:
+            run_view(args.v, args.out_dir, patch_id=args.patch_id)
+        elif args.a:
+            run_animate(args.a, args.out_dir)
+        else:
+            ap.print_help()
+            return 1
+    finally:
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
     return 0
 
 

@@ -1,0 +1,149 @@
+"""Per-patch visual diagnostics — the offline replacement for the PCL
+viewer's debug tooling.
+
+The reference viewer lets you pick a patch and opens OpenCV windows with
+the warped patch window in every visible view (Patch::showRefinedResult,
+TMVS/mvs/patch.cpp:764-820) and a per-pixel SAD error heat-map
+(Patch::showError, patch.cpp:822-910; note that path has a latent bilinear
+weight mix-up the survey flags — this implementation uses the correct
+weights). Here the same artifacts are SAVED as PNG mosaics, which works
+headless and archives with the run.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from pais_mvs_tpu.config import MvsConfig
+from pais_mvs_tpu.models.camera import Scene
+from pais_mvs_tpu.ops import fitness as F
+from pais_mvs_tpu.ops import geometry as geom
+
+
+def warped_windows(scene: Scene, cfg: MvsConfig, center, normal_sph,
+                   ref_cam: int, cam_mask, lod: int):
+    """Raw warped (2r+1)^2 windows of ONE patch in every visible view.
+
+    Returns (windows [C, W, W] f32 intensities with NaN outside bounds,
+    valid [C] bool). Reference: Patch::getHomographyPatch sampling
+    (patch.cpp:332-386) without the L2 normalization.
+    """
+    r = cfg.patch_radius
+    W = 2 * r + 1
+    center = jnp.asarray(center, jnp.float32)[None]
+    normal = geom.spherical_to_normal(jnp.asarray(normal_sph,
+                                                  jnp.float32))[None]
+    ref = jnp.asarray([ref_cam], jnp.int32)
+    lod_b = jnp.asarray([lod], jnp.int32)
+    rig, pyrs = scene.rig, scene.pyramids
+    C = rig.num_cameras
+    lod_scale = jnp.power(jnp.float32(cfg.lod_ratio),
+                          lod_b.astype(jnp.float32))
+    H, hok = F._per_camera_homographies(scene, center, normal, ref,
+                                        lod_scale)
+
+    pt, _ = geom.project(center[0], rig.R[ref_cam], rig.T[ref_cam],
+                         rig.focal[ref_cam], rig.principal[ref_cam],
+                         lod_scale[0])
+    offs = jnp.asarray(F.window_offsets(r))
+    win = pt[None, :] + offs                                  # [W2, 2]
+    uv, w = geom.homography_apply(H[0][:, None, :, :], win[None])  # [C,W2,2]
+    cam_idx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
+                               uv.shape[:2])
+    lod_cb = jnp.full(uv.shape[:2], lod, dtype=jnp.int32)
+    vals, vok = F.bilinear_gather(pyrs.images, cam_idx, lod_cb, uv,
+                                  pyrs.dims, 0.0, 1.0)
+    vok = vok & (w != 0)
+    out = jnp.where(vok, vals, jnp.nan).reshape(C, W, W)
+    valid = jnp.all(vok, axis=-1) & hok[0]
+    mask = jnp.asarray(cam_mask, bool)
+    return np.asarray(out), np.asarray(valid & mask)
+
+
+def sad_heatmap(windows: np.ndarray, cam_mask) -> np.ndarray:
+    """Per-pixel mean absolute deviation across visible views ([W, W],
+    NaN where any view is invalid) — showError's error map
+    (patch.cpp:822-910)."""
+    m = np.asarray(cam_mask, bool)
+    w = windows[m]
+    mean = np.nanmean(w, axis=0)
+    return np.nanmean(np.abs(w - mean[None]), axis=0)
+
+
+def _to_u8(img: np.ndarray, lo=None, hi=None) -> np.ndarray:
+    ok = np.isfinite(img)
+    if not ok.any():
+        return np.zeros(img.shape, np.uint8)
+    lo = np.nanmin(img) if lo is None else lo
+    hi = np.nanmax(img) if hi is None else hi
+    scale = 255.0 / (hi - lo) if hi > lo else 1.0
+    out = np.clip((img - lo) * scale, 0, 255)
+    out[~ok] = 0
+    return out.astype(np.uint8)
+
+
+def save_patch_diagnostics(scene: Scene, cfg: MvsConfig, center, normal_sph,
+                           ref_cam: int, cam_mask, lod: int, out_dir: str,
+                           patch_id: int,
+                           fitness: Optional[float] = None) -> str:
+    """Write '<out_dir>/patch<id>_views.png' (warped window per view,
+    reference view first) and '..._error.png' (SAD heat-map). Returns the
+    views path."""
+    from PIL import Image
+
+    windows, valid = warped_windows(scene, cfg, center, normal_sph,
+                                    ref_cam, cam_mask, lod)
+    C, W, _ = windows.shape
+    pad = 2
+    # mosaic: ref view first, then the others, scaled 4x for visibility
+    order = [ref_cam] + [c for c in range(C) if c != ref_cam]
+    tile = np.zeros((W + 2 * pad, (W + 2 * pad) * C), np.uint8)
+    for i, c in enumerate(order):
+        img = _to_u8(windows[c], 0.0, 255.0)
+        x0 = i * (W + 2 * pad) + pad
+        tile[pad:pad + W, x0:x0 + W] = img
+    scale = 4
+    tile = np.kron(tile, np.ones((scale, scale), np.uint8))
+    os.makedirs(out_dir, exist_ok=True)
+    views_path = os.path.join(out_dir, f"patch{patch_id}_views.png")
+    Image.fromarray(tile).save(views_path)
+
+    err = sad_heatmap(windows, np.asarray(cam_mask) & valid)
+    err_img = np.kron(_to_u8(err), np.ones((scale, scale), np.uint8))
+    Image.fromarray(err_img).save(
+        os.path.join(out_dir, f"patch{patch_id}_error.png"))
+
+    info = [f"patch {patch_id}: refCam {ref_cam} LOD {lod}",
+            f"  center {np.asarray(center)}",
+            f"  visible {np.nonzero(np.asarray(cam_mask))[0].tolist()}"
+            f" valid-warp {np.nonzero(valid)[0].tolist()}"]
+    if fitness is not None:
+        info.append(f"  fitness {fitness:.6f}")
+    print("\n".join(info))
+    return views_path
+
+
+def write_animate_ply(path: str, centers, normals, colors) -> None:
+    """Insertion-order replay artifact: a PLY with an ``order`` scalar per
+    point (color-by-order in MeshLab replays the reconstruction the way
+    the reference's -a mode animates it, view/mvsviewer.cpp:258-265)."""
+    n = len(centers)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        for p in ("x", "y", "z", "nx", "ny", "nz"):
+            f.write(f"property float {p}\n")
+        f.write("property uchar red\nproperty uchar green\n"
+                "property uchar blue\nproperty float order\n")
+        f.write("end_header\n")
+        for i in range(n):
+            c = centers[i]
+            nm = normals[i]
+            col = np.clip(colors[i], 0, 255).astype(int)
+            f.write(f"{c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                    f"{nm[0]:.6f} {nm[1]:.6f} {nm[2]:.6f} "
+                    f"{col[0]} {col[1]} {col[2]} {i / max(n - 1, 1):.6f}\n")

@@ -37,10 +37,12 @@ from pais_mvs_tpu.io.pointcloud import write_ply, write_psr
 class Reconstructor:
     def __init__(self, params: Sequence[CameraParams],
                  images: Sequence[np.ndarray], cfg: MvsConfig,
-                 verbose: bool = True, use_native: Optional[bool] = None):
+                 verbose: bool = True, use_native: Optional[bool] = None,
+                 logger=None):
         self.cfg = cfg
         self.params = list(params)
         self.verbose = verbose
+        self.logger = logger
         # native C++ host runtime (cell grids + candidate generation +
         # neighbour counting); falls back to pure Python when the shared
         # library is unavailable
@@ -67,7 +69,9 @@ class Reconstructor:
     # logging
     # ------------------------------------------------------------------
     def _log(self, msg: str):
-        if self.verbose:
+        if self.logger is not None:
+            self.logger.log(msg)
+        elif self.verbose:
             print(msg, flush=True)
 
     # ------------------------------------------------------------------

@@ -48,14 +48,18 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
-                   out_ref, box, sem, *, precision):
+def _sample_kernel(ints_ref, flts_ref, pflags_ref, images_ref, H_ref,
+                   offs_ref, out_ref, box, sem, *, precision):
     """Grid (B, C). Emits warped bilinear samples for one (patch, view).
 
-    ints: [B, C, 4] int32 (bx, by, lod, 0) in SMEM;
+    ints: [B, C, 4] int32 (bx, by, lod, active) in SMEM;
     flts: [B, C, 6] f32 (h, w, ptx, pty, margin_lo, margin_hi) in SMEM;
+    pflags: [B, 1, P] int32 per-particle validity in SMEM (0 = the candidate
+    is already BIG-fated — facing away / window out of the reference
+    frame — so its sampling is skipped entirely);
     images: [C, L, Hp, Wp] f32 in ANY/HBM; H: [B, C, P, 9] f32 in SMEM;
-    offs: [W2p, 2] f32 in VMEM. out: [B, C, P, W2p] f32.
+    offs: [2, W2p] f32 in VMEM (transposed: dx row 0, dy row 1, so pixel
+    coordinates are born on the lane axis). out: [B, C, P, W2p] f32.
     (No scalar prefetch: the compiler reserves 1 MiB of SMEM per prefetch
     operand, and none of the index maps need these values.)
     """
@@ -72,12 +76,12 @@ def _sample_kernel(ints_ref, flts_ref, images_ref, H_ref, offs_ref,
 
     @pl.when(act != 0)
     def _cell():
-        _cell_body(ints_ref, flts_ref, images_ref, H_ref, offs_ref, out_ref,
-                   box, sem, c, KY, KX, P, W2p, precision)
+        _cell_body(ints_ref, flts_ref, pflags_ref, images_ref, H_ref,
+                   offs_ref, out_ref, box, sem, c, KY, KX, P, W2p, precision)
 
 
-def _cell_body(ints_ref, flts_ref, images_ref, H_ref, offs_ref, out_ref,
-               box, sem, c, KY, KX, P, W2p, precision):
+def _cell_body(ints_ref, flts_ref, pflags_ref, images_ref, H_ref, offs_ref,
+               out_ref, box, sem, c, KY, KX, P, W2p, precision):
     # origins are tile-aligned by construction; tell Mosaic so the DMA
     # slice offsets are provably divisible by the (8, 128) tiling
     bx = pl.multiple_of(ints_ref[0, c, 0], 128)
@@ -102,20 +106,36 @@ def _cell_body(ints_ref, flts_ref, images_ref, H_ref, offs_ref, out_ref,
     # images are 0..255 intensities, bf16's 8-bit mantissa keeps the
     # bilinear result within ~0.5 intensity — far below the SAD contrast
     # PSO ranks on.
+    box_f = box[:, :]                                         # [KY, KX] f32
     if precision is None:
-        box_v = box[:, :].astype(jnp.bfloat16)                # [KY, KX]
+        box_v = box_f.astype(jnp.bfloat16)
     else:
-        box_v = box[:, :]
+        box_v = box_f
     T = W2p                                                   # whole window
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (T, KX), 1) \
+    # a single particle's warped footprint spans far fewer columns than the
+    # box (KX is wide only for the 128-lane DMA alignment slack), so each
+    # particle works on a KS-wide slice centered on its own warped center —
+    # the bilinear weight matrix and the multiply-reduce shrink with it
+    KS = 128 if KX > 128 else KX
+    # TRANSPOSED weight layout: pixels stay on the LANE axis from the u,v
+    # math through the weights, the matmul N axis, the reduction, and the
+    # final store — no lane<->sublane relayouts anywhere in the loop (the
+    # [T]-vector-to-matrix-row path was the kernel's real bottleneck)
+    iota_xs = jax.lax.broadcasted_iota(jnp.int32, (KS, 1), 0) \
         .astype(jnp.float32)
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (T, KY), 1) \
+    iota_ys = jax.lax.broadcasted_iota(jnp.int32, (KY, 1), 0) \
         .astype(jnp.float32)
 
     bxf = bx.astype(jnp.float32)
     byf = by.astype(jnp.float32)
 
     def per_particle(p, _):
+        @pl.when(pflags_ref[0, 0, p] != 0)
+        def _particle():
+            _particle_body(p)
+        return 0
+
+    def _particle_body(p):
         h0 = H_ref[0, 0, p, 0]
         h1 = H_ref[0, 0, p, 1]
         h2 = H_ref[0, 0, p, 2]
@@ -126,44 +146,63 @@ def _cell_body(ints_ref, flts_ref, images_ref, H_ref, offs_ref, out_ref,
         h7 = H_ref[0, 0, p, 7]
         h8 = H_ref[0, 0, p, 8]
 
-        x = px + offs_ref[:, 0]                               # [T]
-        y = py + offs_ref[:, 1]
+        x = px + offs_ref[0:1, :]                             # [1, T]
+        y = py + offs_ref[1:2, :]
         wq = h6 * x + h7 * y + h8
         sw = jnp.where(wq == 0, 1.0, wq)
         u = (h0 * x + h1 * y + h2) / sw
         v = (h3 * x + h4 * y + h5) / sw
 
+        # this particle's column slice: centered on its warped window
+        # center (px, py are the reference window center; its image under
+        # H is where the footprint clusters)
+        if KS < KX:
+            wc = h6 * px + h7 * py + h8
+            swc = jnp.where(wc == 0, 1.0, wc)
+            uc = (h0 * px + h1 * py + h2) / swc
+            xoff = jnp.clip((uc - bxf).astype(jnp.int32) - KS // 2,
+                            0, KX - KS)
+            # dynamic lane-roll + static slice (Mosaic has no dynamic
+            # lane slicing); wrapped columns land beyond ub's [0, KS-2]
+            # validity window, so they are never read as valid samples.
+            # Roll in f32 (bf16 roll crashes the compiler), cast after.
+            box_p = pltpu.roll(box_f, -xoff, 1)[:, :KS]
+            if precision is None:
+                box_p = box_p.astype(jnp.bfloat16)
+            xofff = xoff.astype(jnp.float32)
+        else:
+            box_p = box_v
+            xofff = 0.0
+
         # validity: caller's margins (fitness [2, dim-3), NCC
-        # [0, dim-1)) AND inside the DMA'd box
-        ub = u - bxf
+        # [0, dim-1)) AND inside the sliced box
+        ub = u - bxf - xofff                                  # [1, T]
         vb = v - byf
         ok = ((wq != 0) & (u >= mlo) & (u < w_img - mhi)
               & (v >= mlo) & (v < h_img - mhi)
-              & (ub >= 0) & (ub <= KX - 2) & (vb >= 0) & (vb <= KY - 2))
+              & (ub >= 0) & (ub <= KS - 2) & (vb >= 0) & (vb <= KY - 2))
 
-        # bilinear weights as dense row/col matrices -> one MXU matmul
-        # per particle over the full window (M = W2p keeps the MXU busy)
-        Rw = jnp.maximum(1.0 - jnp.abs(ub[:, None] - iota_x), 0.0)
-        Cw = jnp.maximum(1.0 - jnp.abs(vb[:, None] - iota_y), 0.0)
+        # transposed bilinear weights: [KS, T] and [KY, T]
+        RwT = jnp.maximum(1.0 - jnp.abs(ub - iota_xs), 0.0)
+        CwT = jnp.maximum(1.0 - jnp.abs(vb - iota_ys), 0.0)
         if precision is None:
             tmp = jax.lax.dot_general(
-                Cw.astype(jnp.bfloat16), box_v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [T, KX]
+                box_p, RwT.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [KY, T]
         else:
             tmp = jax.lax.dot_general(
-                Cw, box_v, (((1,), (0,)), ((), ())),
+                box_p, RwT, (((1,), (0,)), ((), ())),
                 precision=precision,
-                preferred_element_type=jnp.float32)           # [T, KX]
-        val = jnp.sum(tmp * Rw, axis=1)                       # [T]
-        out_ref[0, 0, p, :] = jnp.where(ok, val, -1e9)
-        return 0
+                preferred_element_type=jnp.float32)           # [KY, T]
+        val = jnp.sum(tmp * CwT, axis=0, keepdims=True)       # [1, T]
+        out_ref[0, 0, p, :] = jnp.where(ok, val, -1e9)[0]
 
     jax.lax.fori_loop(0, P, per_particle, 0)
 
 
 def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
                  cover: int, precise: bool, interpret: bool, act=None,
-                 cover_y: int | None = None):
+                 cover_y: int | None = None, pvalid=None):
     """Launch the sampling kernel.
 
     H: [B, P, C, 3, 3] homographies; pt: [B, 2] reference-window centers
@@ -201,9 +240,9 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     by = jnp.clip(((cy - cover_y) // 8) * 8, 0, Hp - KY)
 
     offs_np = F.window_offsets(r)                             # [W2, 2]
-    offs = np.full((W2p, 2), 1e7, dtype=np.float32)           # pad -> invalid
-    offs[:W2] = offs_np
-    offs = jnp.asarray(offs)
+    offs_t = np.full((2, W2p), 1e7, dtype=np.float32)         # pad -> invalid
+    offs_t[:, :W2] = offs_np.T
+    offs = jnp.asarray(offs_t)
 
     Hflat = jnp.transpose(H, (0, 2, 1, 3, 4)).reshape(B, C, P, 9)
 
@@ -214,6 +253,10 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     else:
         act_i = act.astype(jnp.int32)
     ints = jnp.stack([bx, by, lod_bc, act_i], axis=-1)
+    if pvalid is None:
+        pflags = jnp.ones((B, 1, P), dtype=jnp.int32)
+    else:
+        pflags = pvalid.astype(jnp.int32)[:, None, :]
     mlo = jnp.full((B, C, 1), margins[0], dtype=jnp.float32)
     mhi = jnp.full((B, C, 1), margins[1], dtype=jnp.float32)
     flts = jnp.concatenate(
@@ -227,6 +270,8 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
                          memory_space=pltpu.SMEM),            # ints
             pl.BlockSpec((1, C, 6), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),            # flts
+            pl.BlockSpec((1, 1, P), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.SMEM),            # pflags
             pl.BlockSpec(memory_space=pltpu.ANY),             # images
             pl.BlockSpec((1, 1, P, 9), lambda b, c: (b, c, 0, 0),
                          memory_space=pltpu.SMEM),            # H (scalars)
@@ -249,7 +294,7 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, P, W2p), jnp.float32),
         interpret=interpret,
-    )(ints, flts, pyrs.images, Hflat, offs)
+    )(ints, flts, pflags, pyrs.images, Hflat, offs)
     return vals[..., :W2]
 
 
@@ -340,11 +385,16 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
               (pt[:, 1] - r >= 2) & (pt[:, 1] + r < ref_dims[:, 0] - 3))
 
     # skip converged swarms (their fitness is ignored by the PSO) and
-    # invisible cameras entirely — the kernel leaves those cells unwritten
+    # invisible cameras entirely — the kernel leaves those cells unwritten;
+    # likewise per-particle for candidates that are already BIG-fated
+    # (facing away from the reference camera / window out of frame —
+    # exactly the cand_ok gate applied below)
     act = cam_mask if active is None else (active[:, None] & cam_mask)
+    pvalid = ~facing_bad & in_ref[:, None] & \
+        jnp.all(hok | ~cam_mask[:, None, :], axis=-1)         # [B, P]
     vals = _run_sampler(scene, cfg, H, pt, lod, (2.0, 3.0), cover,
                         precise, interpret, act=act,
-                        cover_y=cover_y)                      # [B, C, P, W2]
+                        cover_y=cover_y, pvalid=pvalid)       # [B, C, P, W2]
     vals = jnp.transpose(vals, (0, 2, 3, 1))                  # [B, P, W2, C]
     vok = vals > INVALID / 2
 

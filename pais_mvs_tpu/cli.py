@@ -125,25 +125,47 @@ def _build_reconstructor(path: str, out_dir: str,
         cfg = _resolve_config(f.config)
         images = _load_images(f.cameras, base_dir)
         rec = Reconstructor(f.cameras, images, cfg, logger=logger)
-        if len(f.patches.centers):
+        # a .state.npz sidecar (written by autosave) restores the full
+        # arena incl. the expansion frontier; otherwise treat the .mvs
+        # patches as seeds to re-refine (reference -r .mvs semantics)
+        if rec.load_checkpoint(path):
+            rec.resumed = True
+        elif len(f.patches.centers):
             rec.load_seeds_from_mvs(f.patches)
     else:
         raise SystemExit(f"unsupported input: {path}")
     return rec
 
 
+def _dump_stats(rec: Reconstructor, out_dir: str) -> None:
+    import json
+    stats = dict(rec.stats)
+    stats["live_patches"] = int(len(rec.arena.live_ids()))
+    stats["total_patches"] = int(rec.arena.count)
+    stats["deleted_patches"] = int(len(rec.arena.deleted_ids))
+    stats["neighbor_radius"] = float(rec.neighbor_radius)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+
+
 def run_reconstruct(path: str, out_dir: str = ".",
                     refine_poses: bool = False) -> None:
     rec = _build_reconstructor(path, out_dir, refine_poses=refine_poses)
+    rec._log(rec.cfg.describe())
     j = lambda n: os.path.join(out_dir, n)
     t0 = time.time()
-    rec.write_mvs(j("init.mvs"))
-    rec.refine_seeds()
-    rec.write_mvs(j("seed.mvs"))
-    rec.expand(autosave_path=j("auto_save.mvs"))
+    if getattr(rec, "resumed", False):
+        # frontier checkpoint: continue expansion where it stopped
+        rec.expand(autosave_path=j("auto_save.mvs"))
+    else:
+        rec.write_mvs(j("init.mvs"))
+        rec.refine_seeds()
+        rec.write_mvs(j("seed.mvs"))
+        rec.expand(autosave_path=j("auto_save.mvs"))
     rec.write_mvs(j("exp.mvs"))
     rec.write_ply(j("exp.ply"))
     rec.write_psr(j("exp.psr"))
+    _dump_stats(rec, out_dir)
     print(f"time1\t{time.time() - t0:f}")
 
 
@@ -152,7 +174,9 @@ def run_filter(path: str, out_dir: str = ".") -> None:
         print("filtering only mvs file")
         return
     rec = _build_reconstructor(path, out_dir)
-    rec.adopt_loaded_patches()
+    rec._log(rec.cfg.describe())
+    if not getattr(rec, "resumed", False):
+        rec.adopt_loaded_patches()
     j = lambda n: os.path.join(out_dir, n)
     t0 = time.time()
     rec.cell_filtering()
@@ -168,6 +192,7 @@ def run_filter(path: str, out_dir: str = ".") -> None:
     rec.write_mvs(j("PCMVS_filter.mvs")); rec.write_ply(j("PCMVS_filter.ply"))
     rec.write_mvs(j("PCMVS_filter_deleted.mvs"), deleted=True)
     rec.write_ply(j("PCMVS_filter_deleted.ply"), deleted=True)
+    _dump_stats(rec, out_dir)
     print(f"time1\t{time.time() - t0:f}")
 
 

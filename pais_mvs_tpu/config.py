@@ -92,6 +92,14 @@ class MvsConfig:
     def replace(self, **kw) -> "MvsConfig":
         return dataclasses.replace(self, **kw)
 
+    def describe(self) -> str:
+        """Startup banner listing every knob (the reference's printConfig,
+        TMVS/mvs/mvs.cpp:900-955)."""
+        lines = ["MVS config:"]
+        for f in dataclasses.fields(self):
+            lines.append(f"  {f.name:26s} {getattr(self, f.name)}")
+        return "\n".join(lines)
+
 
 # Mapping of config.txt keys (reference spelling) to dataclass fields and
 # value parsers (TMVS/io/fileloader.cpp:490-560).

@@ -403,7 +403,7 @@ class Reconstructor:
             self._log(f"round {rnd}: {len(parents)} parents -> {N} candidates"
                       f" -> {inserted} inserted (total {len(a.live_ids())})")
             if autosave_path and rnd % 10 == 9:
-                self.write_mvs(autosave_path)
+                self.save_checkpoint(autosave_path)
         self._update_neighbor_radius()
         self.stats["expansion_s"] = time.time() - t0
         self.stats["expansion_refined"] = total_refined
@@ -571,6 +571,48 @@ class Reconstructor:
 
     def write_mvs(self, path: str, deleted: bool = False) -> None:
         write_mvs(path, self.cfg, self.params, self.patch_data(deleted))
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (SURVEY §5.4): the .mvs is the reference's
+    # checkpoint but cannot carry the expansion frontier — the reference
+    # restarts expansion ordering from scratch on resume. The sidecar
+    # .state.npz captures the FULL arena (expanded flags, deleted archive,
+    # neighborRadius), so resume continues exactly where the run stopped.
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, mvs_path: str) -> None:
+        self.write_mvs(mvs_path)
+        a = self.arena
+        n = a.count
+        state = {f"d_{k}": v[:n] for k, v in a.data.items()}
+        np.savez_compressed(
+            mvs_path + ".state.npz",
+            count=np.asarray(n), alive=a.alive[:n], expanded=a.expanded[:n],
+            deleted_ids=np.asarray(a.deleted_ids, dtype=np.int64),
+            neighbor_radius=np.asarray(self.neighbor_radius), **state)
+
+    def load_checkpoint(self, mvs_path: str) -> bool:
+        """Restore the arena from ``mvs_path + '.state.npz'`` if present.
+        Returns True when resumed (the .mvs itself is then redundant)."""
+        path = mvs_path + ".state.npz"
+        import os
+        if not os.path.exists(path):
+            return False
+        st = np.load(path)
+        n = int(st["count"])
+        a = self.arena
+        a._grow(max(n, 1))
+        a.count = n
+        for k in a.data:
+            a.data[k][:n] = st[f"d_{k}"]
+        a.alive[:n] = st["alive"]
+        a.expanded[:n] = st["expanded"]
+        a.deleted_ids = [int(i) for i in st["deleted_ids"]]
+        self.neighbor_radius = float(st["neighbor_radius"])
+        self.grids = None
+        self._log(f"resumed checkpoint {path}: {n} patches "
+                  f"({int(a.alive[:n].sum())} live, "
+                  f"{int((~a.expanded[:n] & a.alive[:n]).sum())} frontier)")
+        return True
 
     def write_ply(self, path: str, deleted: bool = False) -> None:
         a = self.arena

@@ -1,0 +1,64 @@
+"""Checkpoint/resume: the .state.npz sidecar restores the full arena
+including the expansion frontier (SURVEY §5.4 build equivalent — the
+reference's .mvs checkpoint loses queue/expanded state)."""
+
+import numpy as np
+import pytest
+
+from pais_mvs_tpu.config import MvsConfig
+from pais_mvs_tpu.data.synthetic import make_scene
+from pais_mvs_tpu.engine.reconstructor import Reconstructor
+
+
+@pytest.fixture(scope="module")
+def small():
+    cfg = MvsConfig(patch_radius=4, max_lod=3, particle_num=6,
+                    max_iteration=6, dist_weighting=4 / 3.0,
+                    seed_refine_rounds=1, cell_size=10,
+                    batch_size=64, wavefront_size=64)
+    sc = make_scene(num_cams=4, width=160, height=120, num_seeds=30, seed=9)
+    return cfg, sc
+
+
+def _fresh(cfg, sc):
+    rec = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+    rec.load_seeds(sc.seed_centers, sc.seed_cam_masks, sc.seed_img_points,
+                   np.full((len(sc.seed_centers), 3), 128.0))
+    return rec
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path, small):
+    cfg, sc = small
+    rec = _fresh(cfg, sc)
+    rec.refine_seeds()
+    rec.expand(max_rounds=2)                  # interrupt mid-expansion
+    ck = str(tmp_path / "auto_save.mvs")
+    rec.save_checkpoint(ck)
+
+    rec2 = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+    assert rec2.load_checkpoint(ck)
+    a1, a2 = rec.arena, rec2.arena
+    assert a1.count == a2.count
+    np.testing.assert_array_equal(a1.alive[:a1.count], a2.alive[:a2.count])
+    np.testing.assert_array_equal(a1.expanded[:a1.count],
+                                  a2.expanded[:a2.count])
+    for k in a1.data:
+        np.testing.assert_array_equal(a1.data[k][:a1.count],
+                                      a2.data[k][:a2.count])
+    assert rec2.neighbor_radius == rec.neighbor_radius
+    frontier_before = int((~a2.expanded[:a2.count]
+                           & a2.alive[:a2.count]).sum())
+    assert frontier_before > 0, "interrupted run should leave a frontier"
+
+    n_before = len(a2.live_ids())
+    rec2.expand(max_rounds=50)
+    assert len(rec2.arena.live_ids()) >= n_before
+    # the frontier drains: everything alive has been expanded
+    a = rec2.arena
+    assert int((~a.expanded[:a.count] & a.alive[:a.count]).sum()) == 0
+
+
+def test_load_checkpoint_missing_returns_false(tmp_path, small):
+    cfg, sc = small
+    rec = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+    assert not rec.load_checkpoint(str(tmp_path / "nope.mvs"))

@@ -345,8 +345,18 @@ class Reconstructor:
             frontier = frontier[~a.expanded[frontier]]
             if len(frontier) == 0:
                 break
-            # best-first: lowest priority first (mvs.cpp:656-693)
-            order = np.argsort(a.data["priority"][frontier], kind="stable")
+            # queue pop strategies (MVS::getPatchIdFromQueue, mvs.cpp:632-788)
+            from pais_mvs_tpu import config as cfg_mod
+            if cfg.expansion_strategy == cfg_mod.EXPANSION_WORST_FIRST:
+                order = np.argsort(-a.data["priority"][frontier],
+                                   kind="stable")
+            elif cfg.expansion_strategy == cfg_mod.EXPANSION_BREADTH_FIRST:
+                order = np.arange(len(frontier))          # FIFO by id
+            elif cfg.expansion_strategy == cfg_mod.EXPANSION_DEPTH_FIRST:
+                order = np.arange(len(frontier))[::-1]    # LIFO by id
+            else:  # best-first: lowest priority first (mvs.cpp:656-693)
+                order = np.argsort(a.data["priority"][frontier],
+                                   kind="stable")
             parents = frontier[order][:cfg.wavefront_size]
             a.expanded[parents] = True
 

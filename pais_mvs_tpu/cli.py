@@ -272,6 +272,17 @@ def main(argv=None):
                     help="capture a jax.profiler trace of the run into DIR")
     args = ap.parse_args(argv)
 
+    # persistent compilation cache: the refine programs are large and
+    # recompile identically across runs
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.expanduser("~"), ".cache",
+                                       "pais_mvs_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     profile_cm = None
     if args.profile:
         import jax

@@ -81,6 +81,12 @@ class MvsConfig:
     # Fitness kernel backend: "auto" picks the Pallas TPU kernel on TPU and
     # the jnp reference elsewhere; "jnp"/"pallas" force one.
     fitness_backend: str = "auto"
+    # Shard refine batches over all local devices (patch-axis data
+    # parallelism under shard_map) when more than one is attached and
+    # batch_size divides the device count. "auto" enables it on real
+    # accelerator backends only (virtual CPU meshes pay shard_map overhead
+    # without parallel hardware); "on"/"off" force it.
+    data_parallel: str = "auto"
     # Force full-f32 MXU multiplies in the Pallas kernel (~3x slower; the
     # default bf16 passes add ~0.02 intensity units of fitness noise).
     pallas_precise: bool = False
@@ -132,6 +138,7 @@ _TXT_KEYS = {
     "wavefrontSize": ("wavefront_size", int),
     "seedRefineRounds": ("seed_refine_rounds", int),
     "rngSeed": ("rng_seed", int),
+    "dataParallel": ("data_parallel", str),
 }
 
 

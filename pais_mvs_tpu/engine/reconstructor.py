@@ -64,6 +64,18 @@ class Reconstructor:
         self.np_focal = np.asarray(rig.focal, dtype=np.float64)
         self.np_principal = np.asarray(rig.principal, dtype=np.float64)
         self.stats: Dict[str, float] = {}
+        # data-parallel refine over all local devices: pure patch-axis
+        # sharding under shard_map (the reference has nothing comparable —
+        # its outer loop is strictly sequential, SURVEY §2 C11)
+        self._dp_mesh = None
+        n_dev = jax.local_device_count()
+        dp = cfg.data_parallel
+        want_dp = dp == "on" or (dp == "auto"
+                                 and jax.default_backend() != "cpu")
+        if want_dp and n_dev > 1 and cfg.batch_size % n_dev == 0:
+            from jax.sharding import Mesh
+            self._dp_mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+            self._log(f"data-parallel refine over {n_dev} devices")
 
     # ------------------------------------------------------------------
     # logging
@@ -170,13 +182,37 @@ class Reconstructor:
             chunk = patch_mod.take(pb, np.arange(s, s + bs))
             chunk = jax.tree.map(jnp.asarray, chunk)
             self.key, sub = jax.random.split(self.key)
-            res = lc.refine_batch(self.scene, cfg, chunk, sub,
-                                  jnp.float32(self.neighbor_radius),
-                                  is_seed, rounds)
+            if self._dp_mesh is not None:
+                res = self._refine_dp(chunk, sub, is_seed, rounds)
+            else:
+                res = lc.refine_batch(self.scene, cfg, chunk, sub,
+                                      jnp.float32(self.neighbor_radius),
+                                      is_seed, rounds)
             outs.append(jax.device_get(res.batch))
             its.append(np.asarray(res.iterations))
         merged = jax.tree.map(lambda *xs: np.concatenate(xs, 0)[:B], *outs)
         return merged, np.concatenate(its)[:B]
+
+    def _refine_dp(self, chunk: PatchBatch, key, is_seed: bool, rounds: int):
+        """Patch-axis data-parallel refine_batch over the local-device mesh
+        (each shard refines its slice independently; PRNG folds in the
+        shard index so swarms stay decorrelated)."""
+        from jax.sharding import PartitionSpec as P
+        cfg = self.cfg
+        scene = self.scene
+        nr = jnp.float32(self.neighbor_radius)
+
+        def body(pbs, key):
+            k = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            return lc.refine_batch(scene, cfg, pbs, k, nr, is_seed, rounds)
+
+        f = jax.shard_map(
+            body, mesh=self._dp_mesh,
+            in_specs=(jax.tree.map(lambda _: P("dp"), chunk), P()),
+            out_specs=lc.RefineResult(
+                jax.tree.map(lambda _: P("dp"), chunk), P("dp")),
+            check_vma=False)
+        return f(chunk, key)
 
     def _append_to_arena(self, out: PatchBatch, keep: np.ndarray,
                          is_seed: bool) -> np.ndarray:

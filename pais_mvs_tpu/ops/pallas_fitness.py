@@ -116,7 +116,13 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, images_ref, H_ref, offs_ref,
     # box (KX is wide only for the 128-lane DMA alignment slack), so each
     # particle works on a KS-wide slice centered on its own warped center —
     # the bilinear weight matrix and the multiply-reduce shrink with it
-    KS = 128 if KX > 128 else KX
+    r_win = (int(np.sqrt(W2p)) // 2) + 1
+    if KX > 64 and 2 * r_win + 18 <= 64:
+        KS = 64
+    elif KX > 128:
+        KS = 128
+    else:
+        KS = KX
     # TRANSPOSED weight layout: pixels stay on the LANE axis from the u,v
     # math through the weights, the matmul N axis, the reduction, and the
     # final store — no lane<->sublane relayouts anywhere in the loop (the

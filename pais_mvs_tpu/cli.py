@@ -270,7 +270,18 @@ def main(argv=None):
                          "and SAD heat-map PNGs")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the run into DIR")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address host:port")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total process count")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this process's id")
     args = ap.parse_args(argv)
+
+    if args.coordinator is not None:
+        from pais_mvs_tpu.parallel.distributed import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     # persistent compilation cache: the refine programs are large and
     # recompile identically across runs

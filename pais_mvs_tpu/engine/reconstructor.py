@@ -420,10 +420,10 @@ class Reconstructor:
             sph = np.stack([np.arccos(np.clip(normals[:, 2], -1, 1)),
                             np.arctan2(normals[:, 1], normals[:, 0])], -1)
             pb = pb.replace(
-                center=jnp.asarray(centers, dtype=jnp.float32),
-                normal_sph=jnp.asarray(sph, dtype=jnp.float32),
-                cam_mask=jnp.asarray(masks),
-                valid=jnp.ones(N, dtype=bool))
+                center=np.asarray(centers, dtype=np.float32),
+                normal_sph=np.asarray(sph, dtype=np.float32),
+                cam_mask=np.asarray(masks),
+                valid=np.ones(N, dtype=bool))
             out, iters = self._refine_all(jax.device_get(pb), is_seed=False,
                                           rounds=1)
             total_refined += N

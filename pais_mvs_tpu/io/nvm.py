@@ -115,18 +115,27 @@ def save_nvm(path: str, cameras: List[CameraParams],
              centers: np.ndarray | None = None,
              colors: np.ndarray | None = None,
              cam_masks: np.ndarray | None = None,
-             img_points: np.ndarray | None = None) -> None:
-    """Write an NVM_V3 file (img_points given in CENTERED coordinates)."""
+             img_points: np.ndarray | None = None,
+             nvm2: bool = False) -> None:
+    """Write an NVM_V3 file (img_points given in CENTERED coordinates).
+    ``nvm2`` writes the extended camera lines (fx fy px py — anisotropic
+    focal + explicit principal point, fileloader.cpp:62-109)."""
     with open(path, "w") as f:
         f.write("NVM_V3 \n\n")
         f.write(f"{len(cameras)}\n")
         for p in cameras:
             q = p.quaternion
             c = p.center
-            f.write(f"{p.file_name}\t{p.focal[0]:.9g} "
-                    f"{q[0]:.9g} {q[1]:.9g} {q[2]:.9g} {q[3]:.9g} "
-                    f"{c[0]:.9g} {c[1]:.9g} {c[2]:.9g} "
-                    f"{p.radial_distortion:.9g} 0\n")
+            if nvm2:
+                f.write(f"{p.file_name}\t{p.focal[0]:.9g} {p.focal[1]:.9g} "
+                        f"{p.principal[0]:.9g} {p.principal[1]:.9g} "
+                        f"{q[0]:.9g} {q[1]:.9g} {q[2]:.9g} {q[3]:.9g} "
+                        f"{c[0]:.9g} {c[1]:.9g} {c[2]:.9g} 0\n")
+            else:
+                f.write(f"{p.file_name}\t{p.focal[0]:.9g} "
+                        f"{q[0]:.9g} {q[1]:.9g} {q[2]:.9g} {q[3]:.9g} "
+                        f"{c[0]:.9g} {c[1]:.9g} {c[2]:.9g} "
+                        f"{p.radial_distortion:.9g} 0\n")
         f.write("\n")
         if centers is None or len(centers) == 0:
             f.write("0\n")

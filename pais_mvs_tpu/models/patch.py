@@ -57,18 +57,22 @@ class PatchBatch:
 
 
 def empty_batch(capacity: int, num_cams: int) -> PatchBatch:
-    z = lambda *s: jnp.zeros(s, dtype=jnp.float32)
+    # HOST numpy arrays: batches are assembled at ragged sizes on the host
+    # and only become device arrays at the fixed-shape refine boundary —
+    # jnp ops here would trigger one (slow, remote on this platform) XLA
+    # compile per novel shape
+    z = lambda *s: np.zeros(s, dtype=np.float32)
     return PatchBatch(
         center=z(capacity, 3), normal_sph=z(capacity, 2),
-        cam_mask=jnp.zeros((capacity, num_cams), dtype=bool),
-        ref_cam=jnp.zeros(capacity, dtype=jnp.int32),
+        cam_mask=np.zeros((capacity, num_cams), dtype=bool),
+        ref_cam=np.zeros(capacity, dtype=np.int32),
         depth=z(capacity), ray=z(capacity, 3), depth_range=z(capacity, 2),
-        lod=jnp.zeros(capacity, dtype=jnp.int32),
+        lod=np.zeros(capacity, dtype=np.int32),
         fitness=z(capacity), correlation=z(capacity), priority=z(capacity),
         color=z(capacity, 3), img_point=z(capacity, num_cams, 2),
-        valid=jnp.zeros(capacity, dtype=bool),
-        expanded=jnp.zeros(capacity, dtype=bool),
-        is_seed=jnp.zeros(capacity, dtype=bool),
+        valid=np.zeros(capacity, dtype=bool),
+        expanded=np.zeros(capacity, dtype=bool),
+        is_seed=np.zeros(capacity, dtype=bool),
     )
 
 
@@ -85,22 +89,24 @@ def from_seeds(centers: np.ndarray, cam_masks: np.ndarray,
     B, C = cam_masks.shape
     pb = empty_batch(B, C)
     return pb.replace(
-        center=jnp.asarray(centers, dtype=jnp.float32),
-        cam_mask=jnp.asarray(cam_masks, dtype=bool),
-        img_point=(jnp.asarray(img_points, dtype=jnp.float32)
+        center=np.asarray(centers, dtype=np.float32),
+        cam_mask=np.asarray(cam_masks, dtype=bool),
+        img_point=(np.asarray(img_points, dtype=np.float32)
                    if img_points is not None else pb.img_point),
-        color=(jnp.asarray(colors, dtype=jnp.float32)
+        color=(np.asarray(colors, dtype=np.float32)
                if colors is not None else pb.color),
-        valid=jnp.ones(B, dtype=bool),
-        is_seed=jnp.ones(B, dtype=bool),
+        valid=np.ones(B, dtype=bool),
+        is_seed=np.ones(B, dtype=bool),
     )
 
 
 def concat(a: PatchBatch, b: PatchBatch) -> PatchBatch:
     import jax
-    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+    return jax.tree.map(
+        lambda x, y: np.concatenate([np.asarray(x), np.asarray(y)], axis=0),
+        a, b)
 
 
 def take(pb: PatchBatch, idx) -> PatchBatch:
     import jax
-    return jax.tree.map(lambda x: x[idx], pb)
+    return jax.tree.map(lambda x: np.asarray(x)[idx], pb)

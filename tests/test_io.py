@@ -39,6 +39,24 @@ def test_nvm_round_trip(sc, tmp_path):
     np.testing.assert_allclose(back[sel], sc.seed_img_points[sel], atol=1e-4)
 
 
+def test_nvm2_round_trip(sc, tmp_path):
+    """NVM2: anisotropic focal + explicit principal point
+    (fileloader.cpp:62-109)."""
+    import dataclasses
+    path = str(tmp_path / "scene.nvm2")
+    params = [dataclasses.replace(
+        p, focal=np.array([p.focal[0], p.focal[0] * 1.02]),
+        principal=np.array([77.0, 55.0])) for p in sc.params]
+    nvm_io.save_nvm(path, params, sc.seed_centers, sc.seed_colors,
+                    sc.seed_cam_masks,
+                    np.zeros_like(sc.seed_img_points), nvm2=True)
+    data = nvm_io.load_nvm(path, nvm2=True)
+    np.testing.assert_allclose(data.cameras[1].focal, params[1].focal,
+                               rtol=1e-6)
+    np.testing.assert_allclose(data.cameras[3].principal, [77.0, 55.0])
+    np.testing.assert_allclose(data.centers, sc.seed_centers, rtol=1e-5)
+
+
 def test_mvs_binary_round_trip(sc, tmp_path):
     path = str(tmp_path / "ckpt.mvs")
     cfg = MvsConfig(patch_radius=9, lod_ratio=0.75)

@@ -105,6 +105,9 @@ def _build_reconstructor(path: str, out_dir: str,
             _, new_pts = _refine_poses(data.cameras, images, data.centers,
                                        data.cam_masks, ipts)
             data.centers = new_pts
+        elif refine_poses:
+            logger.warning("--refine-poses ignored: the NVM has no sparse "
+                           "tracks to bundle-adjust over")
         rec = Reconstructor(data.cameras, images, cfg, logger=logger)
         if len(data.centers):
             widths = [img.shape[1] for img in images]
@@ -121,6 +124,9 @@ def _build_reconstructor(path: str, out_dir: str,
             if len(centers):
                 rec.load_seeds(centers, cam_masks, s_ipts, colors)
     elif ext == "mvs":
+        if refine_poses:
+            logger.warning("--refine-poses ignored: .mvs checkpoints carry "
+                           "no track measurements to bundle-adjust over")
         f = mvsbin.read_mvs(path)
         cfg = _resolve_config(f.config)
         images = _load_images(f.cameras, base_dir)

@@ -74,7 +74,10 @@ class Reconstructor:
                                  and jax.default_backend() != "cpu")
         if want_dp and n_dev > 1 and cfg.batch_size % n_dev == 0:
             from jax.sharding import Mesh
-            self._dp_mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+            # local_devices, NOT devices[:n]: on multi-host runs the global
+            # list leads with process 0's devices, which other processes
+            # cannot address
+            self._dp_mesh = Mesh(np.array(jax.local_devices()), ("dp",))
             self._log(f"data-parallel refine over {n_dev} devices")
 
     # ------------------------------------------------------------------
@@ -626,24 +629,40 @@ class Reconstructor:
     # neighborRadius), so resume continues exactly where the run stopped.
     # ------------------------------------------------------------------
     def save_checkpoint(self, mvs_path: str) -> None:
+        import os
         self.write_mvs(mvs_path)
         a = self.arena
         n = a.count
         state = {f"d_{k}": v[:n] for k, v in a.data.items()}
-        np.savez_compressed(
-            mvs_path + ".state.npz",
-            count=np.asarray(n), alive=a.alive[:n], expanded=a.expanded[:n],
-            deleted_ids=np.asarray(a.deleted_ids, dtype=np.int64),
-            neighbor_radius=np.asarray(self.neighbor_radius), **state)
+        # write-then-rename: a crash mid-save must never leave a truncated
+        # sidecar that poisons the next resume
+        tmp = mvs_path + f".state.npz.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(
+                fh, count=np.asarray(n), alive=a.alive[:n],
+                expanded=a.expanded[:n],
+                deleted_ids=np.asarray(a.deleted_ids, dtype=np.int64),
+                neighbor_radius=np.asarray(self.neighbor_radius), **state)
+        os.replace(tmp, mvs_path + ".state.npz")
 
     def load_checkpoint(self, mvs_path: str) -> bool:
-        """Restore the arena from ``mvs_path + '.state.npz'`` if present.
-        Returns True when resumed (the .mvs itself is then redundant)."""
+        """Restore the arena from ``mvs_path + '.state.npz'`` if present and
+        readable. Returns True when resumed (the .mvs itself is then
+        redundant); a corrupt sidecar is reported and ignored so the caller
+        falls back to the .mvs patches."""
         path = mvs_path + ".state.npz"
         import os
+        import zipfile
         if not os.path.exists(path):
             return False
-        st = np.load(path)
+        try:
+            st = np.load(path)
+            _ = int(st["count"])
+        except (OSError, ValueError, KeyError, zipfile.BadZipFile) as e:
+            if self.logger is not None:
+                self.logger.warning(f"ignoring corrupt checkpoint sidecar "
+                                    f"{path}: {e}")
+            return False
         n = int(st["count"])
         a = self.arena
         a._grow(max(n, 1))

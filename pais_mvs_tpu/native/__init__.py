@@ -23,16 +23,27 @@ LIB = None
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
+    # build into a per-pid temp file and rename atomically: concurrent
+    # processes (pytest -n, multi-process launches) must never dlopen a
+    # half-written .so
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if r.returncode != 0:
             sys.stderr.write(f"[native] build failed:\n{r.stderr}\n")
             return False
+        os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.TimeoutExpired) as e:
         sys.stderr.write(f"[native] build unavailable: {e}\n")
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():

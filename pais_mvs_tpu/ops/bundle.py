@@ -138,6 +138,67 @@ def _assemble(R, center, focal, principal, points, obs, mask, damping):
     return S, rhs, Hpp_inv, bp, W, sse, n_obs
 
 
+def _pad_tracks(points, obs, mask, chunk):
+    M = points.shape[0]
+    pad = (-M) % chunk
+    if pad:
+        points = jnp.concatenate(
+            [points, jnp.zeros((pad, 3), points.dtype)])
+        obs = jnp.concatenate(
+            [obs, jnp.zeros((pad,) + obs.shape[1:], obs.dtype)])
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((pad,) + mask.shape[1:], bool)])
+    return points, obs, mask, M
+
+
+def _reduced_system(R, center, focal, principal, points, obs, mask,
+                    damping, chunk: int):
+    """Schur-reduced camera system accumulated over track CHUNKS: the
+    per-track Jacobian blocks ([chunk, C, ...]) never materialize for the
+    whole track set, so memory is O(chunk x C) instead of O(M x C)."""
+    C = R.shape[0]
+    C6 = 6 * C
+    pts, ob, mk, M = _pad_tracks(points, obs, mask, chunk)
+    n_chunks = pts.shape[0] // chunk
+
+    def body(carry, xs):
+        p, o, m = xs
+        S, rhs, _, _, _, sse, n = _assemble(R, center, focal, principal,
+                                            p, o, m, damping)
+        cS, crhs, csse, cn = carry
+        return (cS + S, crhs + rhs, csse + sse, cn + n), None
+
+    init = (jnp.zeros((C6, C6)), jnp.zeros(C6), jnp.asarray(0.0),
+            jnp.asarray(0, jnp.int32))
+    xs = (pts.reshape(n_chunks, chunk, 3),
+          ob.reshape(n_chunks, chunk, C, 2),
+          mk.reshape(n_chunks, chunk, C))
+    (S, rhs, sse, n), _ = jax.lax.scan(body, init, xs)
+    return S, rhs, sse, n
+
+
+def _point_updates(R, center, focal, principal, points, obs, mask,
+                   damping, dc, chunk: int):
+    """Back-substitution dp per track, chunked like _reduced_system."""
+    C = R.shape[0]
+    pts, ob, mk, M = _pad_tracks(points, obs, mask, chunk)
+    n_chunks = pts.shape[0] // chunk
+
+    def body(_, xs):
+        p, o, m = xs
+        _, _, Hpp_inv, bp, W, _, _ = _assemble(R, center, focal, principal,
+                                               p, o, m, damping)
+        dp = jnp.einsum("mij,mj->mi", Hpp_inv,
+                        bp - jnp.einsum("mcij,ci->mj", W, dc))
+        return None, dp
+
+    xs = (pts.reshape(n_chunks, chunk, 3),
+          ob.reshape(n_chunks, chunk, C, 2),
+          mk.reshape(n_chunks, chunk, C))
+    _, dps = jax.lax.scan(body, None, xs)
+    return dps.reshape(-1, 3)[:M]
+
+
 def _solve_preconditioned(S, rhs):
     """Jacobi-preconditioned dense solve: the Schur system mixes rotation
     and translation units, so D^-1/2 S D^-1/2 drops the condition number
@@ -155,18 +216,21 @@ def _apply_updates(R, center, points, dc, dp):
     return Rn, center + dcen, points + dp
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "chunk"))
 def bundle_adjust(problem: BaProblem, num_iters: int = 10,
                   damping: float = 1e-3,
-                  fix_first_camera: bool = True) -> BaResult:
+                  fix_first_camera: bool = True,
+                  chunk: int = 2048) -> BaResult:
     """Single-device LM bundle adjustment (fixed iteration count, jittable).
 
     ``fix_first_camera`` gauges the solution by pinning camera 0 (removes
     the 6-dof global gauge freedom; scale gauge is left to the damping).
+    ``chunk`` bounds the per-step Jacobian memory to O(chunk x cameras).
     """
     R, center, points = problem.R, problem.center, problem.points
     C = R.shape[0]
     C6 = 6 * C
+    chunk = max(1, min(chunk, points.shape[0]))
 
     def rms(R, center, points):
         def per_track(X, ob, mk):
@@ -186,18 +250,18 @@ def bundle_adjust(problem: BaProblem, num_iters: int = 10,
         gauge = gauge.at[:6].set(0.0)
 
     for _ in range(num_iters):
-        S, rhs, Hpp_inv, bp, W, _, _ = _assemble(
+        S, rhs, _, _ = _reduced_system(
             R, center, problem.focal, problem.principal, points,
-            problem.obs, problem.mask, damping)
+            problem.obs, problem.mask, damping, chunk)
         S = S + damping * jnp.eye(C6)
         # pin the gauge rows/cols
         S = S * gauge[:, None] * gauge[None, :] \
             + jnp.diag(1.0 - gauge)
         rhs = rhs * gauge
         dc = _solve_preconditioned(S, rhs).reshape(C, 6)
-        dp = jnp.einsum("mij,mj->mi",
-                        Hpp_inv,
-                        bp - jnp.einsum("mcij,ci->mj", W, dc))
+        dp = _point_updates(R, center, problem.focal, problem.principal,
+                            points, problem.obs, problem.mask, damping,
+                            dc, chunk)
         R, center, points = _apply_updates(R, center, points, dc, dp)
         history.append(rms(R, center, points))
 
@@ -207,7 +271,8 @@ def bundle_adjust(problem: BaProblem, num_iters: int = 10,
 def bundle_adjust_sharded(problem: BaProblem, mesh: Mesh, axis: str,
                           num_iters: int = 10,
                           damping: float = 1e-3,
-                          fix_first_camera: bool = True) -> BaResult:
+                          fix_first_camera: bool = True,
+                          chunk: int = 2048) -> BaResult:
     """Track-sharded LM bundle adjustment over a device mesh.
 
     The track axis of (points, obs, mask) shards over ``axis``; each device
@@ -225,29 +290,26 @@ def bundle_adjust_sharded(problem: BaProblem, mesh: Mesh, axis: str,
 
     def body(R, center, focal, principal, points, obs, mask):
         hist = []
-
-        def rms_sse(R, center, points):
-            S, rhs, Hpp_inv, bp, W, sse, n = _assemble(
-                R, center, focal, principal, points, obs, mask, damping)
-            return S, rhs, Hpp_inv, bp, W, sse, n
+        ck = max(1, min(chunk, points.shape[0]))
 
         def rms_only(R, center, points):
-            _, _, _, _, _, sse, n = _assemble(
-                R, center, focal, principal, points, obs, mask, damping)
+            _, _, sse, n = _reduced_system(
+                R, center, focal, principal, points, obs, mask, damping, ck)
             sse = jax.lax.psum(sse, axis)
             n = jax.lax.psum(n, axis)
             return jnp.sqrt(sse / (2.0 * jnp.maximum(n, 1)))
 
         hist.append(rms_only(R, center, points))
         for _ in range(num_iters):
-            S, rhs, Hpp_inv, bp, W, _, _ = rms_sse(R, center, points)
+            S, rhs, _, _ = _reduced_system(
+                R, center, focal, principal, points, obs, mask, damping, ck)
             S = jax.lax.psum(S, axis) + damping * jnp.eye(C6)
             rhs = jax.lax.psum(rhs, axis)
             S = S * gauge[:, None] * gauge[None, :] + jnp.diag(1.0 - gauge)
             rhs = rhs * gauge
             dc = _solve_preconditioned(S, rhs).reshape(C, 6)
-            dp = jnp.einsum("mij,mj->mi", Hpp_inv,
-                            bp - jnp.einsum("mcij,ci->mj", W, dc))
+            dp = _point_updates(R, center, focal, principal, points, obs,
+                                mask, damping, dc, ck)
             R, center, points = _apply_updates(R, center, points, dc, dp)
             hist.append(rms_only(R, center, points))
         return R, center, points, jnp.stack(hist)

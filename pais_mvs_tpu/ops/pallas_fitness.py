@@ -116,8 +116,12 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, images_ref, H_ref, offs_ref,
     # box (KX is wide only for the 128-lane DMA alignment slack), so each
     # particle works on a KS-wide slice centered on its own warped center —
     # the bilinear weight matrix and the multiply-reduce shrink with it
-    r_win = (int(np.sqrt(W2p)) // 2) + 1
-    if KX > 64 and 2 * r_win + 18 <= 64:
+    # the 64-column slice is only safe when a window stretched to the
+    # region-ratio gate's limit (~1/0.55 = 1.8x) still fits with margin —
+    # otherwise hypotheses the reference accepts would clip to BIG
+    r_win = int(np.sqrt(W2p)) // 2
+    span_max = 2 * int(1.8 * r_win) + 8
+    if KX > 64 and span_max <= 64:
         KS = 64
     elif KX > 128:
         KS = 128

@@ -41,37 +41,46 @@ class RoutedCandidates(NamedTuple):
     valid: jnp.ndarray     # [cap3] bool
 
 
-def _pack_direction(payload, col, valid, want, cap):
-    """Compact the rows with ``want`` into a fixed [cap, ...] buffer."""
-    key = jnp.where(want & valid, 0, 1)
-    order = jnp.argsort(key, stable=True)
-    take = order[:cap]
-    ok = (key[take] == 0)
+def _pack_direction(payload, col, valid, want, cap, order):
+    """Compact the rows with ``want`` into a fixed [cap, ...] buffer,
+    keeping the lowest-``order`` rows when more than cap qualify."""
+    want_v = want & valid
+    key = jnp.where(want_v, order, jnp.inf)
+    sel = jnp.argsort(key, stable=True)
+    take = sel[:cap]
+    ok = want_v[take]
     return payload[take], col[take], ok
 
 
 def halo_route(payload, col, valid, slab_cols: int, axis: str = PATCH_AXIS,
-               cap: int | None = None):
+               cap: int | None = None, order=None):
     """Route candidates to their owner shards (must run inside shard_map).
 
     payload: [N, D] per-shard candidate payloads; col: [N] global cell
-    column; valid: [N]. A candidate belongs to shard ``col // slab_cols``.
-    Only +-1 ring traffic is supported (guaranteed when slabs are >= 2
-    cells wide). Returns RoutedCandidates with 3N (or 3*cap) rows.
+    column; valid: [N]; order: [N] f32 rank (lower = more important) used
+    when a direction overflows ``cap`` — the highest-order rows are dropped
+    (None = positional). A candidate belongs to shard ``col // slab_cols``.
+    Only +-1 ring traffic is supported, so slabs must be >= 2 cells wide
+    (checked statically). Returns RoutedCandidates with 3N (or 3*cap) rows.
     """
+    assert slab_cols >= 2, \
+        f"slab_cols={slab_cols}: single-cell slabs can route further than " \
+        f"the +-1 ring neighbours"
     N = payload.shape[0]
     if cap is None:
         cap = N
+    if order is None:
+        order = jnp.arange(N, dtype=jnp.float32)
     k = jax.lax.axis_index(axis)
     n_shards = jax.lax.axis_size(axis)
     owner = jnp.clip(col // slab_cols, 0, n_shards - 1)
 
     own_p, own_c, own_v = _pack_direction(payload, col, valid,
-                                          owner == k, cap)
+                                          owner == k, cap, order)
     left_p, left_c, left_v = _pack_direction(payload, col, valid,
-                                             owner == k - 1, cap)
+                                             owner == k - 1, cap, order)
     right_p, right_c, right_v = _pack_direction(payload, col, valid,
-                                                owner == k + 1, cap)
+                                                owner == k + 1, cap, order)
 
     # ring permutes: "send right" = shard k -> k+1, so what we RECEIVE from
     # the left neighbour is its right-bound buffer
@@ -160,7 +169,8 @@ def sharded_expansion_round(centers, normals, img_xy, priority, valid,
             centers[parent], normals[parent],
             priority[parent][:, None],
             ncy[:, None].astype(centers.dtype)], axis=-1)     # [4N, 8]
-        routed = halo_route(payload, ncx, ok, slab_cols)
+        routed = halo_route(payload, ncx, ok, slab_cols,
+                            order=priority[parent])
 
         # dedupe + density cap per (local col, row) target cell:
         # sort by cell then priority; accept the first

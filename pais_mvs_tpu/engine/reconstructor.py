@@ -199,23 +199,34 @@ class Reconstructor:
     def _refine_dp(self, chunk: PatchBatch, key, is_seed: bool, rounds: int):
         """Patch-axis data-parallel refine_batch over the local-device mesh
         (each shard refines its slice independently; PRNG folds in the
-        shard index so swarms stay decorrelated)."""
+        shard index so swarms stay decorrelated).
+
+        The shard_map MUST be wrapped in jit and cached: called eagerly it
+        dispatches the body op-by-op (catastrophic on a tunneled backend),
+        and rebuilding the closure each call would defeat jit's cache.
+        """
         from jax.sharding import PartitionSpec as P
-        cfg = self.cfg
-        scene = self.scene
-        nr = jnp.float32(self.neighbor_radius)
+        cache = getattr(self, "_dp_fns", None)
+        if cache is None:
+            cache = self._dp_fns = {}
+        fn = cache.get((is_seed, rounds))
+        if fn is None:
+            cfg = self.cfg
+            scene = self.scene
 
-        def body(pbs, key):
-            k = jax.random.fold_in(key, jax.lax.axis_index("dp"))
-            return lc.refine_batch(scene, cfg, pbs, k, nr, is_seed, rounds)
+            def body(pbs, key, nr):
+                k = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+                return lc.refine_batch(scene, cfg, pbs, k, nr, is_seed,
+                                       rounds)
 
-        f = jax.shard_map(
-            body, mesh=self._dp_mesh,
-            in_specs=(jax.tree.map(lambda _: P("dp"), chunk), P()),
-            out_specs=lc.RefineResult(
-                jax.tree.map(lambda _: P("dp"), chunk), P("dp")),
-            check_vma=False)
-        return f(chunk, key)
+            spec = jax.tree.map(lambda _: P("dp"), chunk)
+            fn = jax.jit(jax.shard_map(
+                body, mesh=self._dp_mesh,
+                in_specs=(spec, P(), P()),
+                out_specs=lc.RefineResult(spec, P("dp")),
+                check_vma=False))
+            cache[(is_seed, rounds)] = fn
+        return fn(chunk, key, jnp.float32(self.neighbor_radius))
 
     def _append_to_arena(self, out: PatchBatch, keep: np.ndarray,
                          is_seed: bool) -> np.ndarray:

@@ -314,11 +314,12 @@ def bundle_adjust_sharded(problem: BaProblem, mesh: Mesh, axis: str,
             hist.append(rms_only(R, center, points))
         return R, center, points, jnp.stack(hist)
 
-    f = jax.shard_map(
+    # jit the shard_map: eager shard_map dispatches op-by-op
+    f = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P(axis), P()),
-        check_vma=False)
+        check_vma=False))
     R, center, points, hist = f(problem.R, problem.center, problem.focal,
                                 problem.principal, problem.points,
                                 problem.obs, problem.mask)

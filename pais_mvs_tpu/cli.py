@@ -223,6 +223,12 @@ def run_view(path: str, out_dir: str = ".",
           f"correlation: mean {p.correlation.mean():.4f}")
     print(f"wrote {out}")
 
+    from pais_mvs_tpu.diagnostics import write_html_viewer
+    html = os.path.join(out_dir, "view.html")
+    write_html_viewer(html, p.centers,
+                      np.full((len(p.centers), 3), 200.0))
+    print(f"wrote {html} (interactive: orbit/zoom, 'c' color, 'o' replay)")
+
     if patch_id is not None:
         from pais_mvs_tpu.diagnostics import save_patch_diagnostics
         base_dir = os.path.dirname(os.path.abspath(path))

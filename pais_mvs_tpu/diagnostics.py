@@ -127,6 +127,90 @@ def save_patch_diagnostics(scene: Scene, cfg: MvsConfig, center, normal_sph,
     return views_path
 
 
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>pais-mvs-tpu viewer</title>
+<style>
+ body {{ margin:0; background:#111; color:#ccc; font:13px monospace; }}
+ #hud {{ position:fixed; top:8px; left:10px; user-select:none; }}
+ canvas {{ display:block; }}
+</style></head><body>
+<div id="hud">{n} patches — drag: orbit, wheel: zoom, c: color mode,
+ o: order replay</div>
+<canvas id="cv"></canvas>
+<script>
+const P = {points};   // [x,y,z, r,g,b, order]
+const cv = document.getElementById('cv');
+const ctx = cv.getContext('2d');
+let W, H; function rs() {{ W=cv.width=innerWidth; H=cv.height=innerHeight; }}
+rs(); addEventListener('resize', () => {{ rs(); draw(); }});
+let cx=0, cy=0, cz=0;
+for (const p of P) {{ cx+=p[0]; cy+=p[1]; cz+=p[2]; }}
+cx/=P.length; cy/=P.length; cz/=P.length;
+let scale0=0;
+for (const p of P) scale0=Math.max(scale0, Math.hypot(p[0]-cx,p[1]-cy,p[2]-cz));
+let yaw=0.5, pitch=-0.4, zoom=1.0, mode=0, frac=1.0, anim=null;
+function draw() {{
+  ctx.fillStyle='#111'; ctx.fillRect(0,0,W,H);
+  const cyw=Math.cos(yaw), syw=Math.sin(yaw);
+  const cp=Math.cos(pitch), sp=Math.sin(pitch);
+  const s = 0.45*Math.min(W,H)/scale0*zoom;
+  const lim = Math.floor(P.length*frac);
+  const pts = [];
+  for (let i=0;i<lim;i++) {{
+    const p=P[i];
+    let x=p[0]-cx, y=p[1]-cy, z=p[2]-cz;
+    let x1=cyw*x+syw*z, z1=-syw*x+cyw*z;
+    let y2=cp*y+sp*z1, z2=-sp*y+cp*z1;
+    pts.push([x1*s+W/2, y2*s+H/2, z2, p]);
+  }}
+  pts.sort((a,b)=>a[2]-b[2]);
+  for (const q of pts) {{
+    const p=q[3];
+    if (mode===0) ctx.fillStyle=`rgb(${{p[3]}},${{p[4]}},${{p[5]}})`;
+    else {{ const t=p[6]; ctx.fillStyle=`hsl(${{240-240*t}},90%,55%)`; }}
+    ctx.fillRect(q[0], q[1], 2, 2);
+  }}
+}}
+let drag=false, lx=0, ly=0;
+cv.onmousedown=e=>{{drag=true;lx=e.clientX;ly=e.clientY;}};
+onmouseup=()=>drag=false;
+onmousemove=e=>{{ if(!drag) return;
+  yaw+=(e.clientX-lx)*0.008; pitch+=(e.clientY-ly)*0.008;
+  lx=e.clientX; ly=e.clientY; draw(); }};
+cv.onwheel=e=>{{ zoom*=e.deltaY<0?1.1:0.9; draw(); e.preventDefault(); }};
+onkeydown=e=>{{
+  if(e.key==='c') {{ mode=1-mode; draw(); }}
+  if(e.key==='o') {{
+    if (anim) {{ clearInterval(anim); anim=null; frac=1; draw(); return; }}
+    frac=0; anim=setInterval(()=>{{ frac=Math.min(1,frac+0.01);
+      draw(); if(frac>=1){{clearInterval(anim);anim=null;}} }}, 40);
+  }} }};
+draw();
+</script></body></html>
+"""
+
+
+def write_html_viewer(path: str, centers, colors,
+                      max_points: int = 200_000) -> None:
+    """Self-contained interactive point-cloud viewer (vanilla JS canvas, no
+    network dependencies) — the offline replacement for the PCL window
+    (view/mvsviewer.cpp): orbit/zoom, color toggle, and an insertion-order
+    replay that mirrors the reference's -a animate mode."""
+    import json
+    n = len(centers)
+    step = max(1, n // max_points)
+    rows = []
+    for i in range(0, n, step):
+        c = centers[i]
+        col = np.clip(colors[i], 0, 255).astype(int)
+        rows.append([round(float(c[0]), 5), round(float(c[1]), 5),
+                     round(float(c[2]), 5), int(col[0]), int(col[1]),
+                     int(col[2]), round(i / max(n - 1, 1), 4)])
+    html = _HTML_TEMPLATE.format(n=len(rows), points=json.dumps(rows))
+    with open(path, "w") as f:
+        f.write(html)
+
+
 def write_animate_ply(path: str, centers, normals, colors) -> None:
     """Insertion-order replay artifact: a PLY with an ``order`` scalar per
     point (color-by-order in MeshLab replays the reconstruction the way

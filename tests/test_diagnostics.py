@@ -67,6 +67,24 @@ def test_animate_ply_order(tmp_path):
     assert orders == sorted(orders) and orders[0] == 0.0 and orders[-1] == 1.0
 
 
+def test_html_viewer(tmp_path):
+    import json
+    import re
+    from pais_mvs_tpu.diagnostics import write_html_viewer
+    n = 50
+    centers = np.random.default_rng(0).normal(size=(n, 3))
+    colors = np.full((n, 3), 120.0)
+    out = tmp_path / "view.html"
+    write_html_viewer(str(out), centers, colors)
+    html = out.read_text()
+    m = re.search(r"const P = (\[\[.*?\]\]);", html, re.S)
+    pts = json.loads(m.group(1))
+    assert len(pts) == n and all(len(p) == 7 for p in pts)
+    orders = [p[6] for p in pts]
+    assert orders == sorted(orders)
+    assert "onmousedown" in html and "onwheel" in html
+
+
 def test_logmanager(tmp_path):
     lm = LogManager(str(tmp_path / "log.txt"), echo=False)
     lm.log("hello")

@@ -203,7 +203,8 @@ def run_filter(path: str, out_dir: str = ".") -> None:
 
 
 def run_view(path: str, out_dir: str = ".",
-             patch_id: int | None = None) -> None:
+             patch_id: int | None = None,
+             reoptimize: bool = False) -> None:
     """Offline replacement for the PCL viewer: dump a PLY snapshot + stats
     (interactive parity is out of scope; PLY opens in MeshLab as the
     reference README suggests). With ``patch_id``, additionally save the
@@ -246,6 +247,30 @@ def run_view(path: str, out_dir: str = ".",
             np.asarray(pb.cam_mask)[i], int(np.asarray(pb.lod)[i]),
             out_dir, i, fitness=float(p.fitness[i]))
 
+        if reoptimize:
+            # re-run the optimizer on this one patch (the viewer's Shift+S,
+            # view/mvsviewer.cpp:56-71) and save 'after' diagnostics
+            import jax
+            import jax.numpy as jnp
+            from pais_mvs_tpu.models import patch as patch_mod
+            from pais_mvs_tpu.ops import lifecycle as lc
+            one = patch_mod.take(pb, np.asarray([i]))
+            out = lc.refine_batch(rec.scene, cfg,
+                                  jax.tree.map(jnp.asarray, one),
+                                  jax.random.PRNGKey(cfg.rng_seed),
+                                  jnp.float32(rec.neighbor_radius),
+                                  True, 1)
+            nb = jax.device_get(out.batch)
+            print(f"re-optimized: fitness {float(p.fitness[i]):.6f} -> "
+                  f"{float(nb.fitness[0]):.6f}, "
+                  f"center {np.asarray(pb.center)[i]} -> {nb.center[0]}, "
+                  f"valid={bool(nb.valid[0])}")
+            save_patch_diagnostics(
+                rec.scene, cfg, nb.center[0], nb.normal_sph[0],
+                int(nb.ref_cam[0]), nb.cam_mask[0], int(nb.lod[0]),
+                out_dir, i * 1000000 + 1,
+                fitness=float(nb.fitness[0]))
+
 
 def run_animate(path: str, out_dir: str = ".") -> None:
     """Insertion-order replay export (the reference's -a animate mode,
@@ -280,6 +305,9 @@ def main(argv=None):
     ap.add_argument("--patch-id", type=int, default=None,
                     help="with -v: dump the patch's warped-window mosaic "
                          "and SAD heat-map PNGs")
+    ap.add_argument("--reoptimize", action="store_true",
+                    help="with -v --patch-id: re-run the optimizer on that "
+                         "patch and report before/after (viewer Shift+S)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the run into DIR")
     ap.add_argument("--coordinator", default=None,
@@ -318,7 +346,8 @@ def main(argv=None):
         elif args.f:
             run_filter(args.f, args.out_dir)
         elif args.v:
-            run_view(args.v, args.out_dir, patch_id=args.patch_id)
+            run_view(args.v, args.out_dir, patch_id=args.patch_id,
+                     reoptimize=args.reoptimize)
         elif args.a:
             run_animate(args.a, args.out_dir)
         else:

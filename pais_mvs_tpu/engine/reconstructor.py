@@ -390,6 +390,7 @@ class Reconstructor:
         self._update_neighbor_radius()
         t0 = time.time()
         total_refined = 0
+        self._save_time = a.count // 500
         for rnd in range(max_rounds):
             frontier = a.live_ids()
             frontier = frontier[~a.expanded[frontier]]
@@ -462,7 +463,10 @@ class Reconstructor:
                 inserted += 1
             self._log(f"round {rnd}: {len(parents)} parents -> {N} candidates"
                       f" -> {inserted} inserted (total {len(a.live_ids())})")
-            if autosave_path and rnd % 10 == 9:
+            # autosave every 500 new patches (mvs.cpp:265-268), frontier
+            # included via the sidecar
+            if autosave_path and a.count // 500 > self._save_time:
+                self._save_time = a.count // 500
                 self.save_checkpoint(autosave_path)
         self._update_neighbor_radius()
         self.stats["expansion_s"] = time.time() - t0

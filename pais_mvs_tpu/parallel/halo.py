@@ -137,6 +137,33 @@ def expansion_candidates_local(img_x, img_y, priority, valid,
             ok.reshape(-1))
 
 
+def _dedupe_against_occupancy(routed: RoutedCandidates, occ, k,
+                              slab_cols: int, grid_h: int, cap_per: int,
+                              pri_col: int, row_col: int):
+    """Per-cell priority-ordered acceptance against the local occupancy:
+    sort candidates by (cell, priority), accept the first
+    (cap_per - occupancy[cell]) of each run — the distributed counterpart
+    of skipNeighborCell's density clause (mvs.cpp:795).
+
+    Returns (accept [R] bool, row [R] int32)."""
+    lcol = routed.col - k * slab_cols
+    row = routed.payload[:, row_col].astype(jnp.int32)
+    cell_id = jnp.where(routed.valid, lcol * grid_h + row, 2**30)
+    pri = routed.payload[:, pri_col]
+    order = jnp.lexsort((pri, cell_id))
+    cid_s = cell_id[order]
+    same = jnp.concatenate([jnp.zeros(1, bool), cid_s[1:] == cid_s[:-1]])
+    idx = jnp.arange(cid_s.shape[0])
+    start = jnp.where(~same, idx, 0)
+    start = jax.lax.associative_scan(jnp.maximum, start)
+    rank = idx - start
+    occ_flat = occ.reshape(-1)
+    cell_occ = occ_flat[jnp.clip(cid_s, 0, occ_flat.shape[0] - 1)]
+    accept_s = routed.valid[order] & (rank + cell_occ < cap_per)
+    accept = jnp.zeros_like(accept_s).at[order].set(accept_s)
+    return accept & routed.valid, row
+
+
 @functools.partial(jax.jit, static_argnames=("slab_cols", "grid_w", "grid_h",
                                              "cell_size", "mesh", "cap_per"))
 def sharded_expansion_round(centers, normals, img_xy, priority, valid,
@@ -171,30 +198,12 @@ def sharded_expansion_round(centers, normals, img_xy, priority, valid,
             ncy[:, None].astype(centers.dtype)], axis=-1)     # [4N, 8]
         routed = halo_route(payload, ncx, ok, slab_cols,
                             order=priority[parent])
-
-        # dedupe + density cap per (local col, row) target cell:
-        # sort by cell then priority; accept the first
-        # (cap_per - occupancy) arrivals of each cell
-        lcol = routed.col - k * slab_cols
-        row = routed.payload[:, 7].astype(jnp.int32)
-        cell_id = jnp.where(routed.valid, lcol * grid_h + row, 2**30)
-        pri = routed.payload[:, 6]
-        order = jnp.lexsort((pri, cell_id))
-        cid_s = cell_id[order]
-        # rank within equal cell_id runs
-        same = jnp.concatenate([jnp.zeros(1, bool), cid_s[1:] == cid_s[:-1]])
-        idx = jnp.arange(cid_s.shape[0])
-        start = jnp.where(~same, idx, 0)
-        start = jax.lax.associative_scan(jnp.maximum, start)
-        rank = idx - start
-        occ_flat = occ.reshape(-1)
-        cell_occ = occ_flat[jnp.clip(cid_s, 0, occ_flat.shape[0] - 1)]
-        accept_s = routed.valid[order] & (rank + cell_occ < cap_per)
-        accept = jnp.zeros_like(accept_s).at[order].set(accept_s)
-
+        accept, row = _dedupe_against_occupancy(
+            routed, occ, k, slab_cols, grid_h, cap_per,
+            pri_col=6, row_col=7)
         cell_xy = jnp.stack([routed.col, row], axis=-1)
         return (cell_xy, routed.payload[:, :3], routed.payload[:, 3:6],
-                accept & routed.valid)
+                accept)
 
     f = jax.shard_map(
         body, mesh=mesh,
@@ -204,3 +213,126 @@ def sharded_expansion_round(centers, normals, img_xy, priority, valid,
                    P(PATCH_AXIS)),
         check_vma=False)
     return f(centers, normals, img_xy, priority, valid, occupancy)
+
+
+def sharded_expand_step(scene, cfg, centers, normals, img_xy, priority,
+                        valid, ref_cam, parent_cam_mask, occupancy,
+                        neighbor_radius, key, mesh: Mesh, slab_cols: int,
+                        grid_h: int, cap_per: int = 2):
+    """One COMPLETE distributed expansion step inside a single shard_map:
+    4-neighbour candidate generation -> ppermute halo routing -> per-cell
+    density dedupe -> ray/plane candidate centers (mvs.cpp:809-836) ->
+    viewing-cone camera sets (patch.cpp:723-761) -> full batched refine
+    (PSO + NCC pruning + runtime filter) -> occupancy scatter of the
+    accepted patches.
+
+    Simplification vs the host engine (documented): each patch expands over
+    its REFERENCE view's cell grid only (the host path walks every visible
+    view's grid); ownership is by reference-view cell column.
+
+    Global shapes (patch-axis sharded unless noted): centers/normals [N,3],
+    img_xy [N,2] (reference-view pixels), priority/valid/ref_cam [N],
+    parent_cam_mask [N,C], occupancy [S*slab_cols, grid_h] int32 (sharded
+    on axis 0); neighbor_radius f32 scalar and key replicated.
+
+    Returns (refined PatchBatch [12N rows, sharded], accepted [12N],
+    new_occupancy) — accepted rows are refined patches that passed both the
+    density dedupe and runtime filtering.
+    """
+    from pais_mvs_tpu.models import patch as patch_mod
+
+    C = scene.rig.num_cameras
+    fn = _expand_step_fn(cfg, mesh, slab_cols, occupancy.shape[0], grid_h,
+                         cap_per, cfg.cell_size, C)
+    return fn(scene, centers, normals, img_xy, priority, valid, ref_cam,
+              parent_cam_mask, occupancy,
+              jnp.float32(neighbor_radius), key)
+
+
+@functools.lru_cache(maxsize=32)
+def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap_per,
+                    cell_size, C):
+    """Build + cache the jitted shard_map for sharded_expand_step (a fresh
+    closure per call would recompile every time)."""
+    from pais_mvs_tpu.models import patch as patch_mod
+    from pais_mvs_tpu.models.camera import Scene
+    from pais_mvs_tpu.ops import geometry as geom
+    from pais_mvs_tpu.ops import lifecycle as lc
+
+    def body(scene, centers, normals, img_xy, priority, valid, ref_cam,
+             parent_cam_mask, occ, neighbor_radius, key):
+        rig = scene.rig
+        k = jax.lax.axis_index(PATCH_AXIS)
+        ncx, ncy, parent, ok = expansion_candidates_local(
+            img_xy[:, 0], img_xy[:, 1], priority, valid, grid_w, cell_size)
+        ok &= ncy < grid_h
+        payload = jnp.concatenate([
+            centers[parent], normals[parent], priority[parent][:, None],
+            ncy[:, None].astype(centers.dtype),
+            ref_cam[parent][:, None].astype(centers.dtype),
+            parent_cam_mask[parent].astype(centers.dtype)], axis=-1)
+        routed = halo_route(payload, ncx, ok, slab_cols,
+                            order=priority[parent])
+        accept, row = _dedupe_against_occupancy(
+            routed, occ, k, slab_cols, grid_h, cap_per,
+            pri_col=6, row_col=7)
+
+        # candidate center: reference-view cell-center pixel ray meeting
+        # the parent plane (MVS::getExpansionPatchCenter, mvs.cpp:809-836)
+        p_center = routed.payload[:, 0:3]
+        p_normal = routed.payload[:, 3:6]
+        rcam = routed.payload[:, 8].astype(jnp.int32)
+        p_mask = routed.payload[:, 9:9 + C] > 0.5
+        px = (routed.col.astype(jnp.float32) + 0.5) * cell_size
+        py = (row.astype(jnp.float32) + 0.5) * cell_size
+        pix = jnp.stack([px, py], -1)
+        d = jax.vmap(lambda xy, c: geom.pixel_to_world_dir(
+            xy, rig.R[c], rig.center[c], rig.focal[c], rig.principal[c]))(
+            pix, rcam)
+        new_center = geom.ray_plane_intersect(
+            rig.center[rcam], d, p_center, p_normal)
+
+        # viewing-cone camera set with the parent-fallback clause
+        facing = -p_normal @ rig.optical.T                     # [R, C]
+        mask = facing >= cfg.visible_correlation
+        lacking = jnp.sum(mask, -1) < cfg.min_cam_num
+        fallback = p_mask & (facing >= cfg.visible_correlation / 2.0)
+        mask = jnp.where(lacking[:, None], mask | fallback, mask)
+
+        R_rows = new_center.shape[0]
+        pb = patch_mod.empty_batch(R_rows, C)
+        pb = jax.tree.map(jnp.asarray, pb)
+        pb = pb.replace(
+            center=new_center.astype(jnp.float32),
+            normal_sph=geom.normal_to_spherical(p_normal).astype(
+                jnp.float32),
+            cam_mask=mask,
+            valid=accept & jnp.all(jnp.isfinite(new_center), -1)
+                  & (jnp.sum(mask, -1) >= cfg.min_cam_num))
+        kk = jax.random.fold_in(key, k)
+        res = lc.refine_batch(scene, cfg, pb, kk, neighbor_radius,
+                              False, 1)
+        accepted = res.batch.valid
+
+        # occupancy scatter of the survivors (their owner is this shard)
+        lcol = jnp.clip(routed.col - k * slab_cols, 0, slab_cols - 1)
+        rowc = jnp.clip(row, 0, grid_h - 1)
+        occ2 = occ.at[lcol, rowc].add(accepted.astype(occ.dtype))
+        return res.batch, accepted, occ2
+
+    spec_pb = jax.tree.map(lambda _: P(PATCH_AXIS),
+                           patch_mod.empty_batch(1, C))
+
+    def wrapper(scene, *args):
+        scene_spec = jax.tree.map(lambda _: P(), scene)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(scene_spec, P(PATCH_AXIS), P(PATCH_AXIS),
+                      P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
+                      P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
+                      P(), P()),
+            out_specs=(spec_pb, P(PATCH_AXIS), P(PATCH_AXIS)),
+            check_vma=False)
+        return f(scene, *args)
+
+    return jax.jit(wrapper)

@@ -154,16 +154,37 @@ class Reconstructor:
             self.neighbor_radius = (vol ** (1. / 3.)
                                     * self.cfg.neighbor_radius_scalar)
         t0 = time.time()
-        out, iters = self._refine_all(pb, is_seed=True,
-                                      rounds=self.cfg.seed_refine_rounds)
+        # re-optimization rounds with early stop: the reference loops each
+        # patch until its refCam + camera set stabilize (<= camNum times,
+        # patch.cpp:140-172); here a whole-batch round is skipped once
+        # essentially every surviving patch has stabilized
+        out = pb
+        prev_ref = None
+        prev_mask = None
+        rounds_run = 0
+        for rnd in range(self.cfg.seed_refine_rounds):
+            out, iters = self._refine_all(out, is_seed=True, rounds=1)
+            rounds_run += 1
+            ref = np.asarray(out.ref_cam)
+            mask = np.asarray(out.cam_mask)
+            alive = np.asarray(out.valid)
+            if prev_ref is not None and alive.any():
+                changed = ((ref != prev_ref)
+                           | (mask != prev_mask).any(axis=1)) & alive
+                if changed.sum() <= max(1, int(0.01 * alive.sum())):
+                    break
+            prev_ref, prev_mask = ref, mask
         keep = np.asarray(out.valid)
         n = int(keep.sum())
         self._append_to_arena(out, keep, is_seed=True)
         self._update_neighbor_radius()
         self.stats["seed_refine_s"] = time.time() - t0
+        self.stats["seed_rounds"] = rounds_run
         self.stats["seed_accepted"] = n
+        self.stats["seed_pps"] = round(n / max(time.time() - t0, 1e-9), 2)
         self._log(f"seeds: {n}/{B} accepted in {time.time()-t0:.2f}s "
-                  f"(neighborRadius {self.neighbor_radius:.5f})")
+                  f"({rounds_run} rounds, neighborRadius "
+                  f"{self.neighbor_radius:.5f})")
         return n
 
     # ------------------------------------------------------------------
@@ -471,6 +492,8 @@ class Reconstructor:
         self._update_neighbor_radius()
         self.stats["expansion_s"] = time.time() - t0
         self.stats["expansion_refined"] = total_refined
+        self.stats["expansion_pps"] = round(
+            total_refined / max(time.time() - t0, 1e-9), 2)
         return len(a.live_ids())
 
     # ------------------------------------------------------------------

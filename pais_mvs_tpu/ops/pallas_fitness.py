@@ -282,7 +282,7 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
                          memory_space=pltpu.SMEM),            # flts
             pl.BlockSpec((1, 1, P), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),            # pflags
-            pl.BlockSpec(memory_space=pltpu.ANY),             # images
+            pl.BlockSpec(memory_space=pl.ANY),             # images
             pl.BlockSpec((1, 1, P, 9), lambda b, c: (b, c, 0, 0),
                          memory_space=pltpu.SMEM),            # H (scalars)
             pl.BlockSpec(memory_space=pltpu.VMEM),            # offs

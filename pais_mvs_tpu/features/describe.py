@@ -13,7 +13,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _bilinear(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

@@ -19,7 +19,6 @@ from pais_mvs_tpu.features import detect as det
 from pais_mvs_tpu.features import describe as dsc
 from pais_mvs_tpu.features import matching as mat
 from pais_mvs_tpu.models.camera import CameraParams, _np_quat_to_rotation
-from pais_mvs_tpu.ops import geometry as geom
 from pais_mvs_tpu.ops import pyramid as pyr
 
 

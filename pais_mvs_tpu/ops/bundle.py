@@ -23,7 +23,7 @@ derivation (f32; the solve promotes to f64 on host via numpy when tiny).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

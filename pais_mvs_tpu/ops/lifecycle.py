@@ -22,7 +22,6 @@ from pais_mvs_tpu.models.camera import Scene
 from pais_mvs_tpu.models.patch import PatchBatch
 from pais_mvs_tpu.ops import fitness as F
 from pais_mvs_tpu.ops import geometry as geom
-from pais_mvs_tpu.ops.geometry import BIG
 from pais_mvs_tpu.ops.pso import gln_pso
 
 

@@ -48,11 +48,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _sample_kernel(ints_ref, flts_ref, pflags_ref, images_ref, H_ref,
-                   offs_ref, out_ref, box, sem, *, precision):
+def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
+                   H_ref, offs_ref, out_ref, box0, box1, sem0, sem1, *,
+                   precision):
     """Grid (B, C). Emits warped bilinear samples for one (patch, view).
 
-    ints: [B, C, 4] int32 (bx, by, lod, active) in SMEM;
+    ints: [B, C, 4] int32 (bx, by, lod, active) in SMEM; ints2 is the SAME
+    array windowed at row b+1 (for the cross-row prefetch);
     flts: [B, C, 6] f32 (h, w, ptx, pty, margin_lo, margin_hi) in SMEM;
     pflags: [B, 1, P] int32 per-particle validity in SMEM (0 = the candidate
     is already BIG-fated — facing away / window out of the reference
@@ -60,39 +62,82 @@ def _sample_kernel(ints_ref, flts_ref, pflags_ref, images_ref, H_ref,
     images: [C, L, Hp, Wp] f32 in ANY/HBM; H: [B, C, P, 9] f32 in SMEM;
     offs: [2, W2p] f32 in VMEM (transposed: dx row 0, dy row 1, so pixel
     coordinates are born on the lane axis). out: [B, C, P, W2p] f32.
-    (No scalar prefetch: the compiler reserves 1 MiB of SMEM per prefetch
-    operand, and none of the index maps need these values.)
+
+    The box is DOUBLE-BUFFERED: each cell prefetches the NEXT cell's slab
+    into the other buffer (parity = linear cell index % 2) so the HBM copy
+    overlaps the current cell's particle loop. Cells whose swarm is
+    inactive start no copy and wait on none — the parity schedule is
+    data-independent, so producer/consumer stay matched.
     """
+    b = pl.program_id(0)
     c = pl.program_id(1)
-    KY, KX = box.shape
+    B = pl.num_programs(0)
+    C = pl.num_programs(1)
+    KY, KX = box0.shape
     P = out_ref.shape[2]
     W2p = out_ref.shape[3]
 
-    # skip the whole cell when the swarm has converged / the patch is dead
-    # (ints slot 3 = active & cam_mask); the unwritten output block is
-    # garbage, which downstream masks out by the same cam_mask and the
-    # PSO's per-swarm done mask
     act = ints_ref[0, c, 3]
+    par = (b * C + c) % 2
+
+    def _copy(bxv, byv, lodv, camv, buf, sem):
+        return pltpu.make_async_copy(
+            images_ref.at[camv, lodv, pl.ds(byv, KY), pl.ds(bxv, KX)],
+            buf, sem)
+
+    def _own_copy(buf, sem):
+        return _copy(pl.multiple_of(ints_ref[0, c, 0], 128),
+                     pl.multiple_of(ints_ref[0, c, 1], 8),
+                     ints_ref[0, c, 2], c, buf, sem)
+
+    # the very first cell has no predecessor: issue its own copy
+    @pl.when((b == 0) & (c == 0) & (act != 0))
+    def _first():
+        _own_copy(box0, sem0).start()
+
+    # complete this cell's copy (issued by the predecessor, or just above)
+    @pl.when((act != 0) & (par == 0))
+    def _w0():
+        _own_copy(box0, sem0).wait()
+
+    @pl.when((act != 0) & (par == 1))
+    def _w1():
+        _own_copy(box1, sem1).wait()
+
+    # prefetch the NEXT cell's slab into the other buffer
+    is_last = (b == B - 1) & (c == C - 1)
+    in_row = c < C - 1
+    nc = jnp.where(in_row, c + 1, 0)
+    n_bx = pl.multiple_of(
+        jnp.where(in_row, ints_ref[0, nc, 0], ints2_ref[0, nc, 0]), 128)
+    n_by = pl.multiple_of(
+        jnp.where(in_row, ints_ref[0, nc, 1], ints2_ref[0, nc, 1]), 8)
+    n_lod = jnp.where(in_row, ints_ref[0, nc, 2], ints2_ref[0, nc, 2])
+    n_act = jnp.where(in_row, ints_ref[0, nc, 3], ints2_ref[0, nc, 3])
+    do_pf = (~is_last) & (n_act != 0)
+
+    @pl.when(do_pf & (par == 0))
+    def _p0():
+        _copy(n_bx, n_by, n_lod, nc, box1, sem1).start()
+
+    @pl.when(do_pf & (par == 1))
+    def _p1():
+        _copy(n_bx, n_by, n_lod, nc, box0, sem0).start()
 
     @pl.when(act != 0)
     def _cell():
-        _cell_body(ints_ref, flts_ref, pflags_ref, images_ref, H_ref,
-                   offs_ref, out_ref, box, sem, c, KY, KX, P, W2p, precision)
+        box_f = jax.lax.cond(par == 0, lambda: box0[:, :],
+                             lambda: box1[:, :])
+        _cell_body(ints_ref, flts_ref, pflags_ref, H_ref,
+                   offs_ref, out_ref, box_f, c, KY, KX, P, W2p, precision)
 
 
-def _cell_body(ints_ref, flts_ref, pflags_ref, images_ref, H_ref, offs_ref,
-               out_ref, box, sem, c, KY, KX, P, W2p, precision):
-    # origins are tile-aligned by construction; tell Mosaic so the DMA
-    # slice offsets are provably divisible by the (8, 128) tiling
+def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
+               out_ref, box_f, c, KY, KX, P, W2p, precision):
     bx = pl.multiple_of(ints_ref[0, c, 0], 128)
     by = pl.multiple_of(ints_ref[0, c, 1], 8)
-    lod = ints_ref[0, c, 2]
     h_img = flts_ref[0, c, 0]
     w_img = flts_ref[0, c, 1]
-
-    cp = pltpu.make_async_copy(
-        images_ref.at[c, lod, pl.ds(by, KY), pl.ds(bx, KX)], box, sem)
-    cp.start()
 
     # window pixel coordinates in the reference LOD image (shared by all
     # particles: the ref projection is depth-invariant along the ray)
@@ -101,12 +146,10 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, images_ref, H_ref, offs_ref,
     mlo = flts_ref[0, c, 4]
     mhi = flts_ref[0, c, 5]
 
-    cp.wait()
     # one-pass bf16 multiplies unless the caller asked for full f32: the
     # images are 0..255 intensities, bf16's 8-bit mantissa keeps the
     # bilinear result within ~0.5 intensity — far below the SAD contrast
     # PSO ranks on.
-    box_f = box[:, :]                                         # [KY, KX] f32
     if precision is None:
         box_v = box_f.astype(jnp.bfloat16)
     else:
@@ -277,12 +320,15 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
         grid=(B, C),
         in_specs=[
             pl.BlockSpec((1, C, 4), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.SMEM),            # ints
+                         memory_space=pltpu.SMEM),            # ints (row b)
+            pl.BlockSpec((1, C, 4),                           # ints (row b+1)
+                         lambda b, c: (jnp.minimum(b + 1, B - 1), 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C, 6), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),            # flts
             pl.BlockSpec((1, 1, P), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),            # pflags
-            pl.BlockSpec(memory_space=pl.ANY),             # images
+            pl.BlockSpec(memory_space=pl.ANY),                # images
             pl.BlockSpec((1, 1, P, 9), lambda b, c: (b, c, 0, 0),
                          memory_space=pltpu.SMEM),            # H (scalars)
             pl.BlockSpec(memory_space=pltpu.VMEM),            # offs
@@ -291,7 +337,9 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
                                lambda b, c: (b, c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((KY, KX), jnp.float32),
+            pltpu.VMEM((KY, KX), jnp.float32),                # box0
+            pltpu.VMEM((KY, KX), jnp.float32),                # box1
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -304,7 +352,7 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, P, W2p), jnp.float32),
         interpret=interpret,
-    )(ints, flts, pflags, pyrs.images, Hflat, offs)
+    )(ints, ints, flts, pflags, pyrs.images, Hflat, offs)
     return vals[..., :W2]
 
 

@@ -76,6 +76,26 @@ def test_pallas_respects_lod(problem, tiny_cfg):
     np.testing.assert_allclose(b[both], a[both], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("dist,diff,grad", [
+    (False, False, False), (True, False, False), (False, True, False),
+    (False, False, True), (True, True, False), (True, False, True),
+    (False, True, True), (True, True, True)])
+def test_adaptive_weight_sweep(problem, tiny_cfg, dist, diff, grad):
+    """All 8 on/off combinations of the adaptive weights (BASELINE config 2:
+    'adaptive NCC weighting on/off sweeps') agree between the Pallas kernel
+    and the jnp reference."""
+    scene, ref, cm, lod, rays, pos = problem
+    cfg = tiny_cfg.replace(adaptive_distance_enable=dist,
+                           adaptive_difference_enable=diff,
+                           adaptive_gradient_enable=grad)
+    a = np.asarray(F.patch_fitness(scene, cfg, ref, cm, lod, rays, pos))
+    b = np.asarray(patch_fitness_pallas(scene, cfg, ref, cm, lod, rays, pos,
+                                        interpret=True, precise=True))
+    both = (a < 1e20) & (b < 1e20)
+    assert both.sum() > 20
+    np.testing.assert_allclose(b[both], a[both], rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_active_mask_skips_cells(problem, tiny_cfg):
     """Inactive swarms' rows are garbage, but active swarms' fitness must be
     bit-identical to the all-active call (kernel cell skipping)."""

@@ -55,7 +55,7 @@ def warped_windows(scene: Scene, cfg: MvsConfig, center, normal_sph,
     cam_idx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
                                uv.shape[:2])
     lod_cb = jnp.full(uv.shape[:2], lod, dtype=jnp.int32)
-    vals, vok = F.bilinear_gather(pyrs.images, cam_idx, lod_cb, uv,
+    vals, vok = F.bilinear_gather(pyrs.images, pyrs.yoff, cam_idx, lod_cb, uv,
                                   pyrs.dims, 0.0, 1.0)
     vok = vok & (w != 0)
     out = jnp.where(vok, vals, jnp.nan).reshape(C, W, W)

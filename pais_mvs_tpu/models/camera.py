@@ -74,17 +74,21 @@ class CameraRig:
 
 @struct.dataclass
 class PyramidSet:
-    """Packed image pyramids for every camera."""
+    """Packed image pyramids for every camera, as a vertical mip-atlas:
+    level ``l`` of camera ``c`` lives in ``images[c, yoff[l]:yoff[l]+h_l,
+    :w_l]`` (bands are 8-row aligned; memory is sum of level heights, not
+    L x level-0 height)."""
 
-    images: Any     # [C, L, Hmax, Wmax] f32, gray 0..255 (0 = background/pad)
-    edges: Any      # [C, L, Hmax, Wmax] f32 in [0, 1]
+    images: Any     # [C, Ha, Wa] f32, gray 0..255 (0 = background/pad)
+    edges: Any      # [C, Ha, Wa] f32 in [0, 1]
     dims: Any       # [C, L, 2] int32 (h, w) per level; (0, 0) where absent
     rgb: Any        # [C, Hmax, Wmax, 3] f32 level-0 color (for patch colors)
-    var: Any        # [C, L, Hmax, Wmax] f32 patch-window variance (-1 = OOB)
+    var: Any        # [C, Ha, Wa] f32 patch-window variance (-1 = OOB)
+    yoff: Any       # [L+1] int32 atlas band row offsets (last = Ha)
 
     @property
     def num_levels(self) -> int:
-        return self.images.shape[1]
+        return self.dims.shape[1]
 
 
 @struct.dataclass
@@ -148,8 +152,9 @@ def build_scene(params: Sequence[CameraParams],
         quat[i] = np.asarray(p.quaternion, dtype=np.float64)
 
     L = int(max_lods.max()) + 1
-    images, edges, dims = pyr.pack_pyramids(levels_all, edges_all, dims_all, L)
-    var_maps = pyr.pack_variance_maps(vars_all, L, hmax, wmax)
+    images, edges, dims, yoff = pyr.pack_pyramids(levels_all, edges_all,
+                                                  dims_all, L)
+    var_maps = pyr.pack_variance_maps(vars_all, dims_all, L)
 
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     rig = CameraRig(
@@ -160,5 +165,6 @@ def build_scene(params: Sequence[CameraParams],
     )
     pyrs = PyramidSet(images=jnp.asarray(images), edges=jnp.asarray(edges),
                       dims=jnp.asarray(dims), rgb=jnp.asarray(rgb_packed),
-                      var=jnp.asarray(var_maps))
+                      var=jnp.asarray(var_maps),
+                      yoff=jnp.asarray(yoff, dtype=jnp.int32))
     return Scene(rig=rig, pyramids=pyrs)

@@ -61,20 +61,22 @@ def dist_weight_table(cfg: MvsConfig) -> np.ndarray:
     return g.ravel().astype(np.float32)
 
 
-def bilinear_gather(images, cam, lod, xy, dims, lo: float, hi_margin: float):
-    """Bilinear-sample packed pyramids with bounds validity.
+def bilinear_gather(images, yoff, cam, lod, xy, dims, lo: float,
+                    hi_margin: float):
+    """Bilinear-sample the mip-atlas pyramids with bounds validity.
 
     Args:
-      images: [C, L, Hp, Wp] packed pyramid.
+      images: [C, Ha, Wa] packed mip-atlas.
+      yoff: [L+1] int32 atlas band row offsets.
       cam, lod: int32 arrays broadcastable to xy[..., 0].
-      xy: [..., 2] sample positions (level coordinates).
+      xy: [..., 2] sample positions (LEVEL-LOCAL coordinates).
       dims: [C, L, 2] per-level (h, w).
       lo / hi_margin: valid iff lo <= p < dim - hi_margin (reference uses
         (2, 3) in the fitness kernel and (0, 1) in the NCC warp).
 
     Returns: (values [...], valid [...] bool).
     """
-    C, L, Hp, Wp = images.shape
+    C, Ha, Wa = images.shape
     flat = images.reshape(-1)
     h = dims[cam, lod, 0].astype(jnp.float32)
     w = dims[cam, lod, 1].astype(jnp.float32)
@@ -86,27 +88,27 @@ def bilinear_gather(images, cam, lod, xy, dims, lo: float, hi_margin: float):
     y0 = jnp.floor(iy)
     fx = ix - x0
     fy = iy - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, Wp - 2)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, Hp - 2)
-    base = (cam * L + lod) * (Hp * Wp)
-    idx00 = base + y0i * Wp + x0i
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, Wa - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32) + yoff[lod], 0, Ha - 2)
+    idx00 = cam * (Ha * Wa) + y0i * Wa + x0i
     v00 = jnp.take(flat, idx00)
     v01 = jnp.take(flat, idx00 + 1)
-    v10 = jnp.take(flat, idx00 + Wp)
-    v11 = jnp.take(flat, idx00 + Wp + 1)
+    v10 = jnp.take(flat, idx00 + Wa)
+    v11 = jnp.take(flat, idx00 + Wa + 1)
     val = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
            + v10 * (1 - fx) * fy + v11 * fx * fy)
     return val, valid
 
 
-def nearest_gather(images, cam, lod, xy):
+def nearest_gather(images, yoff, cam, lod, xy):
     """Round-to-nearest sample (for background/edge lookups, which the
     reference does with cvRound; in-bounds is the caller's invariant)."""
-    C, L, Hp, Wp = images.shape
+    C, Ha, Wa = images.shape
     flat = images.reshape(-1)
-    xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, Wp - 1)
-    yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, Hp - 1)
-    idx = (cam * L + lod) * (Hp * Wp) + yi * Wp + xi
+    xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, Wa - 1)
+    yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32) + yoff[lod],
+                  0, Ha - 1)
+    idx = cam * (Ha * Wa) + yi * Wa + xi
     return jnp.take(flat, idx)
 
 
@@ -183,7 +185,7 @@ def patch_fitness(scene: Scene, cfg: MvsConfig,
     # background skip: reference-image intensity at the rounded window pixel
     ref_cam_bpw = jnp.broadcast_to(ref_cam[:, None, None], (B, P, W2))
     lod_bpw = jnp.broadcast_to(lod[:, None, None], (B, P, W2))
-    ref_int = nearest_gather(pyrs.images, ref_cam_bpw, lod_bpw, win)
+    ref_int = nearest_gather(pyrs.images, pyrs.yoff, ref_cam_bpw, lod_bpw, win)
     fg = ref_int != 0                                         # [B, P, W2]
 
     # warp into every camera
@@ -198,7 +200,7 @@ def patch_fitness(scene: Scene, cfg: MvsConfig,
 
     cam_idx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, P, W2, C))
     lod_b = jnp.broadcast_to(lod[:, None, None, None], (B, P, W2, C))
-    vals, vok = bilinear_gather(pyrs.images, cam_idx, lod_b, uv,
+    vals, vok = bilinear_gather(pyrs.images, pyrs.yoff, cam_idx, lod_b, uv,
                                 pyrs.dims, 2.0, 3.0)
     vok = vok & (w != 0)
 
@@ -222,7 +224,7 @@ def patch_fitness(scene: Scene, cfg: MvsConfig,
     if cfg.adaptive_difference_enable:
         weight = weight * jnp.exp(-sad * sad / jnp.float32(cfg.diff_weighting))
     if cfg.adaptive_gradient_enable:
-        edge = nearest_gather(pyrs.edges, ref_cam_bpw, lod_bpw, win)
+        edge = nearest_gather(pyrs.edges, pyrs.yoff, ref_cam_bpw, lod_bpw, win)
         safe_edge = jnp.maximum(edge * jnp.float32(cfg.gradient_weighting), 1e-20)
         weight = weight * jnp.exp(-1.0 / safe_edge)
 
@@ -275,7 +277,7 @@ def warped_patch_vectors(scene: Scene, cfg: MvsConfig,
 
     cam_idx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, W2, C))
     lod_b = jnp.broadcast_to(lod[:, None, None], (B, W2, C))
-    vals, vok = bilinear_gather(pyrs.images, cam_idx, lod_b, uv,
+    vals, vok = bilinear_gather(pyrs.images, pyrs.yoff, cam_idx, lod_b, uv,
                                 pyrs.dims, 0.0, 1.0)
     vok = vok & (w != 0)
 

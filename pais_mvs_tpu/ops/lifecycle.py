@@ -124,7 +124,7 @@ def set_lod(scene: Scene, cfg: MvsConfig, center, ref_cam):
                (pt[:, 1] >= 0) & (pt[:, 1] < dims[:, 0]) & (z > 0) &
                jnp.all(jnp.isfinite(pt), axis=-1))
         lod_b = jnp.full((B,), l, dtype=jnp.int32)
-        var = F.nearest_gather(pyrs.var, ref_cam, lod_b, pt)
+        var = F.nearest_gather(pyrs.var, pyrs.yoff, ref_cam, lod_b, pt)
         valid.append(pin & (var >= 0))
         vars.append(var)
     valid = jnp.stack(valid, axis=1)                          # [B, L]
@@ -261,7 +261,7 @@ def runtime_filter_static(scene: Scene, cfg: MvsConfig, pb: PatchBatch):
               (z > 0) & jnp.all(jnp.isfinite(xy), axis=-1))
     cam_b = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
     lod0 = jnp.zeros((B, C), dtype=jnp.int32)
-    inten = F.nearest_gather(pyrs.images, cam_b, lod0, xy)
+    inten = F.nearest_gather(pyrs.images, pyrs.yoff, cam_b, lod0, xy)
     keep &= jnp.all(inside & (inten != 0), axis=-1)
 
     facing = -jnp.einsum("bk,ck->bc", pb.normal(), rig.optical)

@@ -53,13 +53,13 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
                    precision):
     """Grid (B, C). Emits warped bilinear samples for one (patch, view).
 
-    ints: [B, C, 4] int32 (bx, by, lod, active) in SMEM; ints2 is the SAME
+    ints: [B, C, 4] int32 (bx, by_atlas, by_level, active) in SMEM; ints2 is the SAME
     array windowed at row b+1 (for the cross-row prefetch);
     flts: [B, C, 6] f32 (h, w, ptx, pty, margin_lo, margin_hi) in SMEM;
     pflags: [B, 1, P] int32 per-particle validity in SMEM (0 = the candidate
     is already BIG-fated — facing away / window out of the reference
     frame — so its sampling is skipped entirely);
-    images: [C, L, Hp, Wp] f32 in ANY/HBM; H: [B, C, P, 9] f32 in SMEM;
+    images: [C, Ha, Wa] f32 mip-atlas in ANY/HBM; H: [B, C, P, 9] f32 in SMEM;
     offs: [2, W2p] f32 in VMEM (transposed: dx row 0, dy row 1, so pixel
     coordinates are born on the lane axis). out: [B, C, P, W2p] f32.
 
@@ -80,15 +80,16 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
     act = ints_ref[0, c, 3]
     par = (b * C + c) % 2
 
-    def _copy(bxv, byv, lodv, camv, buf, sem):
+    def _copy(bxv, byv, camv, buf, sem):
+        # byv is in ATLAS rows (band offset already folded in host-side)
         return pltpu.make_async_copy(
-            images_ref.at[camv, lodv, pl.ds(byv, KY), pl.ds(bxv, KX)],
+            images_ref.at[camv, pl.ds(byv, KY), pl.ds(bxv, KX)],
             buf, sem)
 
     def _own_copy(buf, sem):
         return _copy(pl.multiple_of(ints_ref[0, c, 0], 128),
                      pl.multiple_of(ints_ref[0, c, 1], 8),
-                     ints_ref[0, c, 2], c, buf, sem)
+                     c, buf, sem)
 
     # the very first cell has no predecessor: issue its own copy
     @pl.when((b == 0) & (c == 0) & (act != 0))
@@ -112,17 +113,16 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
         jnp.where(in_row, ints_ref[0, nc, 0], ints2_ref[0, nc, 0]), 128)
     n_by = pl.multiple_of(
         jnp.where(in_row, ints_ref[0, nc, 1], ints2_ref[0, nc, 1]), 8)
-    n_lod = jnp.where(in_row, ints_ref[0, nc, 2], ints2_ref[0, nc, 2])
     n_act = jnp.where(in_row, ints_ref[0, nc, 3], ints2_ref[0, nc, 3])
     do_pf = (~is_last) & (n_act != 0)
 
     @pl.when(do_pf & (par == 0))
     def _p0():
-        _copy(n_bx, n_by, n_lod, nc, box1, sem1).start()
+        _copy(n_bx, n_by, nc, box1, sem1).start()
 
     @pl.when(do_pf & (par == 1))
     def _p1():
-        _copy(n_bx, n_by, n_lod, nc, box0, sem0).start()
+        _copy(n_bx, n_by, nc, box0, sem0).start()
 
     @pl.when(act != 0)
     def _cell():
@@ -135,7 +135,7 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
 def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                out_ref, box_f, c, KY, KX, P, W2p, precision):
     bx = pl.multiple_of(ints_ref[0, c, 0], 128)
-    by = pl.multiple_of(ints_ref[0, c, 1], 8)
+    by = pl.multiple_of(ints_ref[0, c, 2], 8)   # LEVEL-coords box origin
     h_img = flts_ref[0, c, 0]
     w_img = flts_ref[0, c, 1]
 
@@ -267,21 +267,24 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     pyrs = scene.pyramids
     B, P, C = H.shape[:3]
     r = cfg.patch_radius
-    Hp, Wp = pyrs.images.shape[2], pyrs.images.shape[3]
+    Ha, Wa = pyrs.images.shape[1], pyrs.images.shape[2]
     # y is the matmul contraction dim (zero-padded to the MXU's 128 lanes
     # regardless), so keep the box SHORT in y — just enough rows for the
     # warped window footprint — and let x carry the 128-lane alignment
     if cover_y is None:
         cover_y = cover
-    KY = min(_round_up(2 * cover_y + 7, 8), (Hp // 8) * 8)
-    KX = min(_round_up(2 * cover + 127, 128), Wp)
+    KY = min(_round_up(2 * cover_y + 7, 8), (Ha // 8) * 8)
+    KX = min(_round_up(2 * cover + 127, 128), Wa)
     W2 = (2 * r + 1) ** 2
     W2p = _round_up(W2, 128)
     cover_y = (KY - 7) // 2
     cover_x = (KX - 127) // 2
 
     # box origins: median warped window center over particles, tile-aligned
-    # and clamped so the [KY, KX] slab stays inside the padded plane
+    # and clamped so the [KY, KX] slab stays inside the atlas. by_lvl is the
+    # origin in LEVEL coordinates (for the kernel's validity math); by_atl
+    # adds the mip-band row offset (for the DMA) and may differ from
+    # yoff+by_lvl only through the atlas-bounds clip, which by_lvl mirrors.
     uvc, _ = geom.homography_apply(H, pt[:, None, None, :])   # [B,P,C,2]
     uvc = jnp.where(jnp.isfinite(uvc), uvc, 0.0)
     ctr = jnp.median(uvc, axis=1)                             # [B, C, 2]
@@ -289,8 +292,10 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     hwf = hw.astype(jnp.float32)
     cx = jnp.round(ctr[..., 0]).astype(jnp.int32)
     cy = jnp.round(ctr[..., 1]).astype(jnp.int32)
-    bx = jnp.clip(((cx - cover_x) // 128) * 128, 0, Wp - KX)
-    by = jnp.clip(((cy - cover_y) // 8) * 8, 0, Hp - KY)
+    bx = jnp.clip(((cx - cover_x) // 128) * 128, 0, Wa - KX)
+    yoff_b = pyrs.yoff[lod][:, None]                          # [B, 1]
+    by_atl = jnp.clip(yoff_b + ((cy - cover_y) // 8) * 8, 0, Ha - KY)
+    by_lvl = by_atl - yoff_b
 
     offs_np = F.window_offsets(r)                             # [W2, 2]
     offs_t = np.full((2, W2p), 1e7, dtype=np.float32)         # pad -> invalid
@@ -300,12 +305,12 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     Hflat = jnp.transpose(H, (0, 2, 1, 3, 4)).reshape(B, C, P, 9)
 
     # pack the per-(patch, view) scalars into two small SMEM arrays
-    lod_bc = jnp.broadcast_to(lod[:, None], (B, C))
     if act is None:
         act_i = jnp.ones((B, C), dtype=jnp.int32)
     else:
         act_i = act.astype(jnp.int32)
-    ints = jnp.stack([bx, by, lod_bc, act_i], axis=-1)
+    ints = jnp.stack([bx, jnp.broadcast_to(by_atl, (B, C)),
+                      jnp.broadcast_to(by_lvl, (B, C)), act_i], axis=-1)
     if pvalid is None:
         pflags = jnp.ones((B, 1, P), dtype=jnp.int32)
     else:
@@ -460,7 +465,7 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     win = pt[:, None, :] + jnp.asarray(F.window_offsets(r))[None]  # [B,W2,2]
     ref_cam_bw = jnp.broadcast_to(ref_cam[:, None], (B, W2))
     lod_bw = jnp.broadcast_to(lod[:, None], (B, W2))
-    ref_int = F.nearest_gather(pyrs.images, ref_cam_bw, lod_bw, win)
+    ref_int = F.nearest_gather(pyrs.images, pyrs.yoff, ref_cam_bw, lod_bw, win)
     fg = (ref_int != 0)[:, None, :]                           # [B, 1, W2]
 
     m = cam_mask[:, None, None, :]
@@ -485,7 +490,7 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     if cfg.adaptive_difference_enable:
         weight = weight * jnp.exp(-sad * sad / jnp.float32(cfg.diff_weighting))
     if cfg.adaptive_gradient_enable:
-        edge = F.nearest_gather(pyrs.edges, ref_cam_bw, lod_bw, win)
+        edge = F.nearest_gather(pyrs.edges, pyrs.yoff, ref_cam_bw, lod_bw, win)
         safe_edge = jnp.maximum(edge[:, None, :]
                                 * jnp.float32(cfg.gradient_weighting), 1e-20)
         weight = weight * jnp.exp(-1.0 / safe_edge)

@@ -130,21 +130,46 @@ def build_pyramid(gray0: np.ndarray, lod_ratio: float, max_lod: int):
     return levels, edges, np.asarray(dims, dtype=np.int32)
 
 
-def pack_variance_maps(per_cam_vars, num_levels, hmax, wmax):
-    """Pack per-level variance maps into [C, L, Hp, Wp], padding with -1
-    (= window-out-of-bounds)."""
-    C = len(per_cam_vars)
-    hmax = (hmax + 7) // 8 * 8
+def atlas_offsets(per_cam_dims, num_levels):
+    """Row offsets of the vertical mip-atlas bands.
+
+    Every level occupies a horizontal band of the atlas (band height = max
+    over cameras of that level's height, 8-row aligned so Pallas DMA slabs
+    stay tile-aligned). Memory is sum(h_l) x W0 instead of the old
+    L x H0 x W0 stack — ~2x less at lodRatio 0.8.
+
+    Returns (yoff [L+1] int32 — band starts, last entry = total height,
+    wmax int — 128-aligned atlas width).
+    """
+    C = len(per_cam_dims)
+    yoff = np.zeros(num_levels + 1, dtype=np.int32)
+    for l in range(num_levels):
+        band = 0
+        for c in range(C):
+            if l < per_cam_dims[c].shape[0]:
+                band = max(band, int(per_cam_dims[c][l, 0]))
+        band = (band + 7) // 8 * 8
+        yoff[l + 1] = yoff[l] + band
+    wmax = max(int(d[0, 1]) for d in per_cam_dims)
     wmax = (wmax + 127) // 128 * 128
-    out = np.full((C, num_levels, hmax, wmax), -1.0, dtype=np.float32)
+    return yoff, wmax
+
+
+def pack_variance_maps(per_cam_vars, per_cam_dims, num_levels):
+    """Pack per-level variance maps into the [C, Ha, Wa] atlas, padding
+    with -1 (= window-out-of-bounds)."""
+    C = len(per_cam_vars)
+    yoff, wmax = atlas_offsets(per_cam_dims, num_levels)
+    out = np.full((C, int(yoff[-1]), wmax), -1.0, dtype=np.float32)
     for c in range(C):
         for l, v in enumerate(per_cam_vars[c]):
-            out[c, l, :v.shape[0], :v.shape[1]] = v
+            y0 = int(yoff[l])
+            out[c, y0:y0 + v.shape[0], :v.shape[1]] = v
     return out
 
 
 def pack_pyramids(per_cam_levels, per_cam_edges, per_cam_dims, num_levels):
-    """Pack ragged per-camera pyramids into padded arrays.
+    """Pack ragged per-camera pyramids into one vertical mip-atlas.
 
     Args:
       per_cam_levels / per_cam_edges: list (len C) of lists of 2-D float32.
@@ -152,23 +177,21 @@ def pack_pyramids(per_cam_levels, per_cam_edges, per_cam_dims, num_levels):
       num_levels: global L (>= every camera's level count).
 
     Returns:
-      images [C, L, Hmax, Wmax] f32, edges likewise, dims [C, L, 2] int32
-      (zero-sized for levels a camera does not have).
+      images [C, Ha, Wa] f32 (level l in rows [yoff[l], yoff[l]+h_l)),
+      edges likewise, dims [C, L, 2] int32 (zero-sized for levels a camera
+      does not have), yoff [L+1] int32 band offsets.
     """
     C = len(per_cam_levels)
-    hmax = max(int(d[0, 0]) for d in per_cam_dims)
-    wmax = max(int(d[0, 1]) for d in per_cam_dims)
-    # pad to TPU tile multiples (sublane 8 x lane 128) so Pallas kernels can
-    # DMA aligned slabs directly out of the packed pyramid
-    hmax = (hmax + 7) // 8 * 8
-    wmax = (wmax + 127) // 128 * 128
-    images = np.zeros((C, num_levels, hmax, wmax), dtype=np.float32)
-    edges = np.zeros((C, num_levels, hmax, wmax), dtype=np.float32)
+    yoff, wmax = atlas_offsets(per_cam_dims, num_levels)
+    ha = int(yoff[-1])
+    images = np.zeros((C, ha, wmax), dtype=np.float32)
+    edges = np.zeros((C, ha, wmax), dtype=np.float32)
     dims = np.zeros((C, num_levels, 2), dtype=np.int32)
     for c in range(C):
         for l, (g, e) in enumerate(zip(per_cam_levels[c], per_cam_edges[c])):
             h, w = g.shape
-            images[c, l, :h, :w] = g
-            edges[c, l, :h, :w] = e
+            y0 = int(yoff[l])
+            images[c, y0:y0 + h, :w] = g
+            edges[c, y0:y0 + h, :w] = e
             dims[c, l] = (h, w)
-    return images, edges, dims
+    return images, edges, dims, yoff

@@ -32,7 +32,7 @@ from pais_mvs_tpu.parallel.mesh import PATCH_AXIS, VIEW_AXIS
 
 
 def _local_view_fitness(rig: CameraRig, images_loc, edges_loc, dims_glob,
-                        cfg: MvsConfig, c_local: int,
+                        yoff, cfg: MvsConfig, c_local: int,
                         ref_cam, cam_mask, lod, ray, pos):
     """Per-shard fitness over the local camera block, psum-composed over the
     view axis. Mirrors ops.fitness.patch_fitness (same reference semantics,
@@ -89,7 +89,7 @@ def _local_view_fitness(rig: CameraRig, images_loc, edges_loc, dims_glob,
     lod_b = jnp.broadcast_to(lod[:, None, None], (B, Pn, W2))
     ownf = own[:, None, None].astype(jnp.float32)
     ref_int = jax.lax.psum(
-        F.nearest_gather(images_loc, ref_b, lod_b, win) * ownf, VIEW_AXIS)
+        F.nearest_gather(images_loc, yoff, ref_b, lod_b, win) * ownf, VIEW_AXIS)
     fg = ref_int != 0
 
     # warp into local cameras
@@ -105,7 +105,7 @@ def _local_view_fitness(rig: CameraRig, images_loc, edges_loc, dims_glob,
     cam_idx = jnp.broadcast_to(jnp.arange(c_local, dtype=jnp.int32),
                                (B, Pn, W2, c_local))
     lod_b4 = jnp.broadcast_to(lod[:, None, None, None], (B, Pn, W2, c_local))
-    vals, vok = F.bilinear_gather(images_loc, cam_idx, lod_b4, uv,
+    vals, vok = F.bilinear_gather(images_loc, yoff, cam_idx, lod_b4, uv,
                                   dims_loc, 2.0, 3.0)
     vok = vok & (w != 0)
 
@@ -134,7 +134,7 @@ def _local_view_fitness(rig: CameraRig, images_loc, edges_loc, dims_glob,
         weight = weight * jnp.exp(-sad * sad / jnp.float32(cfg.diff_weighting))
     if cfg.adaptive_gradient_enable:
         edge = jax.lax.psum(
-            F.nearest_gather(edges_loc, ref_b, lod_b, win) * ownf, VIEW_AXIS)
+            F.nearest_gather(edges_loc, yoff, ref_b, lod_b, win) * ownf, VIEW_AXIS)
         safe_edge = jnp.maximum(edge * jnp.float32(cfg.gradient_weighting),
                                 1e-20)
         weight = weight * jnp.exp(-1.0 / safe_edge)
@@ -147,7 +147,7 @@ def _local_view_fitness(rig: CameraRig, images_loc, edges_loc, dims_glob,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "particle_num",
                                              "max_iteration"))
-def sharded_pso_refine(rig: CameraRig, images, edges, dims_glob,
+def sharded_pso_refine(rig: CameraRig, images, edges, dims_glob, yoff,
                        cfg: MvsConfig, ref_cam, cam_mask, lod, ray,
                        lo, hi, init, key, mesh: Mesh,
                        particle_num: int, max_iteration: int) -> PsoResult:
@@ -163,11 +163,11 @@ def sharded_pso_refine(rig: CameraRig, images, edges, dims_glob,
     assert C % vp == 0, (C, vp)
     c_local = C // vp
 
-    def body(rig_r, images_loc, edges_loc, dims_g, ref_cam, cam_mask, lod,
-             ray, lo, hi, init, key):
+    def body(rig_r, images_loc, edges_loc, dims_g, yoff_r, ref_cam,
+             cam_mask, lod, ray, lo, hi, init, key):
         pk = jax.random.fold_in(key, jax.lax.axis_index(PATCH_AXIS))
         fit_fn = lambda pos, act: _local_view_fitness(
-            rig_r, images_loc, edges_loc, dims_g, cfg, c_local,
+            rig_r, images_loc, edges_loc, dims_g, yoff_r, cfg, c_local,
             ref_cam, cam_mask, lod, ray, pos)
         return gln_pso(fit_fn, lo, hi, init, pk,
                        particle_num=particle_num,
@@ -175,11 +175,11 @@ def sharded_pso_refine(rig: CameraRig, images, edges, dims_glob,
 
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(VIEW_AXIS), P(VIEW_AXIS), P(),
+        in_specs=(P(), P(VIEW_AXIS), P(VIEW_AXIS), P(), P(),
                   P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
                   P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
                   P(PATCH_AXIS), P()),
         out_specs=PsoResult(P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS)),
         check_vma=False)
-    return f(rig, images, edges, dims_glob, ref_cam, cam_mask, lod, ray,
-             lo, hi, init, key)
+    return f(rig, images, edges, dims_glob, yoff, ref_cam, cam_mask, lod,
+             ray, lo, hi, init, key)

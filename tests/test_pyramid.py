@@ -52,13 +52,17 @@ def test_build_and_pack_pyramids():
     lv1, ed1, d1 = pyr.build_pyramid(g1, 0.8, 2)
     assert len(lv0) == 4 and len(lv1) == 3
     assert d0[1].tolist() == [48, 64]
-    images, edges, dims = pyr.pack_pyramids([lv0, lv1], [ed0, ed1],
-                                            [d0, d1], 4)
-    # planes are padded to TPU tile multiples (8, 128)
-    assert images.shape == (2, 4, 64, 128)
+    images, edges, dims, yoff = pyr.pack_pyramids([lv0, lv1], [ed0, ed1],
+                                                  [d0, d1], 4)
+    # mip-atlas: bands are 8-row aligned, width 128-aligned
+    # band heights: L0 max(60,50)->64, L1 max(48,40)->48, L2 ->40, L3 ->32
+    assert yoff.tolist() == [0, 64, 112, 152, 184]
+    assert images.shape == (2, 184, 128)
     assert dims[1, 3].tolist() == [0, 0]      # absent level
     assert dims[0, 0].tolist() == [60, 80]
-    np.testing.assert_array_equal(images[0, 0, :60, :80], lv0[0])
+    np.testing.assert_array_equal(images[0, :60, :80], lv0[0])
+    np.testing.assert_array_equal(
+        images[0, yoff[1]:yoff[1] + 48, :64], lv0[1])
     # gray levels are integer-quantized like the reference's uchar pyramid
     assert np.all(images == np.round(images))
 

@@ -53,7 +53,7 @@ def test_sharded_pso_matches_quality_and_runs_2d(setup):
     mesh = mesh_mod.make_mesh((4, 2))
     res = sharded_pso_refine(
         scene.rig, scene.pyramids.images, scene.pyramids.edges,
-        scene.pyramids.dims, cfg,
+        scene.pyramids.dims, scene.pyramids.yoff, cfg,
         jnp.asarray(ref), jnp.ones((B, 4), bool),
         jnp.zeros(B, dtype=jnp.int32), jnp.asarray(rays),
         jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(init),
@@ -88,18 +88,18 @@ def test_sharded_fitness_equals_single_device(setup):
     from jax.sharding import PartitionSpec as Sp
     mesh = mesh_mod.make_mesh((2, 4))  # 4-way view sharding (1 cam each)
 
-    def body(rig, img, edg, dims, ref_c, cm, ld, ry, ps):
-        return _local_view_fitness(rig, img, edg, dims, cfg, 1,
+    def body(rig, img, edg, dims, yo, ref_c, cm, ld, ry, ps):
+        return _local_view_fitness(rig, img, edg, dims, yo, cfg, 1,
                                    ref_c, cm, ld, ry, ps)
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(Sp(), Sp("view"), Sp("view"), Sp(),
+        in_specs=(Sp(), Sp("view"), Sp("view"), Sp(), Sp(),
                   Sp("patch"), Sp("patch"), Sp("patch"), Sp("patch"),
                   Sp("patch")),
         out_specs=Sp("patch"), check_vma=False)
     sharded = f(scene.rig, scene.pyramids.images, scene.pyramids.edges,
-                scene.pyramids.dims, jnp.asarray(ref), cam_mask, lod,
-                jnp.asarray(rays), jnp.asarray(pos))
+                scene.pyramids.dims, scene.pyramids.yoff, jnp.asarray(ref),
+                cam_mask, lod, jnp.asarray(rays), jnp.asarray(pos))
     a = np.asarray(single)
     b = np.asarray(sharded)
     big = a >= 1e20

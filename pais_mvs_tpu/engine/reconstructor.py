@@ -728,3 +728,115 @@ class Reconstructor:
         ids = self.arena.live_ids()
         write_psr(path, self.arena.data["center"][ids],
                   self.arena.normals(ids))
+
+
+def _expand_distributed(self, mesh=None, max_rounds: int = 64,
+                        per_shard: int = 256) -> int:
+    """SPMD wavefront expansion over a cell-slab device mesh (the
+    multi-device counterpart of ``expand``; BASELINE config 5).
+
+    Each round bins the frontier by reference-view cell column (shard
+    ownership), runs ``parallel.halo.sharded_expand_step`` — candidate
+    generation, ppermute halo routing, density dedupe, plane intersection,
+    batched refine and occupancy update all on-device — and merges the
+    accepted patches back into the arena.
+
+    Documented simplification vs the host path: candidates come from each
+    patch's REFERENCE view's grid only (the host path walks every visible
+    view's grid), and the density grid is shared across cameras. Quality is
+    validated set-wise, not by insertion order.
+    """
+    import jax
+    import math as _math
+    from pais_mvs_tpu.parallel.halo import sharded_expand_step
+    from pais_mvs_tpu.parallel.mesh import make_mesh
+
+    cfg = self.cfg
+    a = self.arena
+    if mesh is None:
+        n = max(jax.local_device_count(), 1)
+        mesh = make_mesh((n, 1))
+    S = mesh.shape["patch"]
+
+    cell = cfg.cell_size
+    gw_cells = max(_math.ceil(w / cell) for w in self.widths)
+    gh_cells = max(_math.ceil(h / cell) for h in self.heights)
+    slab = max(2, _math.ceil(gw_cells / S))
+    grid_w = S * slab
+
+    # occupancy from the current live patches' reference-view cells
+    occ = np.zeros((grid_w, gh_cells), np.int32)
+    live0 = a.live_ids()
+    refs0 = a.data["ref_cam"][live0]
+    for pid, rc in zip(live0, refs0):
+        ip = a.data["img_point"][pid, int(rc)]
+        cx, cy = int(ip[0] / cell), int(ip[1] / cell)
+        if 0 <= cx < grid_w and 0 <= cy < gh_cells:
+            occ[cx, cy] += 1
+    occ = jnp.asarray(occ)
+
+    self._update_neighbor_radius()
+    t0 = time.time()
+    total_inserted = 0
+    for rnd in range(max_rounds):
+        frontier = a.live_ids()
+        frontier = frontier[~a.expanded[frontier]]
+        if len(frontier) == 0:
+            break
+        refc = a.data["ref_cam"][frontier].astype(np.int32)
+        ipts = a.data["img_point"][frontier, refc]            # [N, 2]
+        owner = np.clip((ipts[:, 0] / cell).astype(int) // slab, 0, S - 1)
+
+        N = S * per_shard
+        centers = np.zeros((N, 3), np.float32)
+        normals = np.zeros((N, 3), np.float32)
+        img_xy = np.zeros((N, 2), np.float32)
+        priority = np.full(N, 1e30, np.float32)
+        valid = np.zeros(N, bool)
+        rc_arr = np.zeros(N, np.int32)
+        pmask = np.zeros((N, a.num_cams), bool)
+        nrm = a.normals(frontier)
+        taken = []
+        for k in range(S):
+            ids = np.nonzero(owner == k)[0]
+            # best-priority first within the shard's budget
+            ids = ids[np.argsort(a.data["priority"][frontier[ids]],
+                                 kind="stable")][:per_shard]
+            for j, i in enumerate(ids):
+                t = k * per_shard + j
+                centers[t] = a.data["center"][frontier[i]]
+                normals[t] = nrm[i]
+                img_xy[t] = ipts[i]
+                priority[t] = a.data["priority"][frontier[i]]
+                valid[t] = True
+                rc_arr[t] = refc[i]
+                pmask[t] = a.data["cam_mask"][frontier[i]]
+                taken.append(frontier[i])
+        if not taken:
+            break
+        a.expanded[np.asarray(taken)] = True
+
+        out_pb, accepted, occ = sharded_expand_step(
+            self.scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
+            jnp.asarray(img_xy), jnp.asarray(priority), jnp.asarray(valid),
+            jnp.asarray(rc_arr), jnp.asarray(pmask), occ,
+            self.neighbor_radius, jax.random.fold_in(self.key, rnd),
+            mesh, slab, gh_cells, cap_per=cfg.max_cell_patch_num)
+        acc = np.asarray(accepted)
+        if acc.any():
+            outs = jax.device_get(out_pb)
+            self._append_to_arena(outs, acc, is_seed=False)
+            total_inserted += int(acc.sum())
+        self._log(f"dist round {rnd}: {int(np.asarray(valid).sum())} parents"
+                  f" -> {int(acc.sum())} inserted"
+                  f" (total {len(a.live_ids())})")
+        if not acc.any():
+            # nothing accepted this round and frontier was consumed
+            continue
+    self.grids = None          # host grids rebuilt lazily for the filters
+    self.stats["dist_expansion_s"] = time.time() - t0
+    self.stats["dist_inserted"] = total_inserted
+    return len(a.live_ids())
+
+
+Reconstructor.expand_distributed = _expand_distributed

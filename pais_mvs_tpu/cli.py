@@ -155,19 +155,27 @@ def _dump_stats(rec: Reconstructor, out_dir: str) -> None:
 
 
 def run_reconstruct(path: str, out_dir: str = ".",
-                    refine_poses: bool = False) -> None:
+                    refine_poses: bool = False,
+                    distributed: bool = False) -> None:
     rec = _build_reconstructor(path, out_dir, refine_poses=refine_poses)
     rec._log(rec.cfg.describe())
     j = lambda n: os.path.join(out_dir, n)
     t0 = time.time()
+
+    def _expand():
+        if distributed:
+            rec.expand_distributed()
+        else:
+            rec.expand(autosave_path=j("auto_save.mvs"))
+
     if getattr(rec, "resumed", False):
         # frontier checkpoint: continue expansion where it stopped
-        rec.expand(autosave_path=j("auto_save.mvs"))
+        _expand()
     else:
         rec.write_mvs(j("init.mvs"))
         rec.refine_seeds()
         rec.write_mvs(j("seed.mvs"))
-        rec.expand(autosave_path=j("auto_save.mvs"))
+        _expand()
     rec.write_mvs(j("exp.mvs"))
     rec.write_ply(j("exp.ply"))
     rec.write_psr(j("exp.psr"))
@@ -302,6 +310,9 @@ def main(argv=None):
     ap.add_argument("-b", "--refine-poses", action="store_true",
                     help="bundle-adjust camera poses over the SfM tracks "
                          "before dense reconstruction")
+    ap.add_argument("--distributed-expansion", action="store_true",
+                    help="run expansion as SPMD cell-slab rounds over all "
+                         "devices (halo exchange; multi-chip scale path)")
     ap.add_argument("--patch-id", type=int, default=None,
                     help="with -v: dump the patch's warped-window mosaic "
                          "and SAD heat-map PNGs")
@@ -342,7 +353,8 @@ def main(argv=None):
     try:
         if args.r:
             run_reconstruct(args.r, args.out_dir,
-                            refine_poses=args.refine_poses)
+                            refine_poses=args.refine_poses,
+                            distributed=args.distributed_expansion)
         elif args.f:
             run_filter(args.f, args.out_dir)
         elif args.v:

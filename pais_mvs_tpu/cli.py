@@ -164,7 +164,7 @@ def run_reconstruct(path: str, out_dir: str = ".",
 
     def _expand():
         if distributed:
-            rec.expand_distributed()
+            rec.expand_distributed(autosave_path=j("auto_save.mvs"))
         else:
             rec.expand(autosave_path=j("auto_save.mvs"))
 
@@ -257,7 +257,15 @@ def run_view(path: str, out_dir: str = ".",
 
         if reoptimize:
             # re-run the optimizer on this one patch (the viewer's Shift+S,
-            # view/mvsviewer.cpp:56-71) and save 'after' diagnostics
+            # view/mvsviewer.cpp:56-71) and save 'after' diagnostics.
+            # Recover the volume-derived neighborRadius from the loaded
+            # cloud (the .mvs does not embed it) so the depth-search bounds
+            # match the original reconstruction's.
+            ext = p.centers.max(0) - p.centers.min(0)
+            vol = float(abs(ext[0] * ext[1] * ext[2]))
+            if vol > 0:
+                rec.neighbor_radius = (vol ** (1.0 / 3.0)
+                                       * cfg.neighbor_radius_scalar)
             import jax
             import jax.numpy as jnp
             from pais_mvs_tpu.models import patch as patch_mod

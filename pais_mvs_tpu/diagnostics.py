@@ -198,7 +198,12 @@ def write_html_viewer(path: str, centers, colors,
     replay that mirrors the reference's -a animate mode."""
     import json
     n = len(centers)
-    step = max(1, n // max_points)
+    if n < 2:
+        # a 0/1-point cloud renders as NaN geometry; skip the artifact
+        with open(path, "w") as f:
+            f.write("<html><body>no patches to view</body></html>")
+        return
+    step = max(1, -(-n // max_points))   # ceil: never exceed max_points
     rows = []
     for i in range(0, n, step):
         c = centers[i]

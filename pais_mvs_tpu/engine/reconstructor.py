@@ -163,7 +163,11 @@ class Reconstructor:
         prev_mask = None
         rounds_run = 0
         for rnd in range(self.cfg.seed_refine_rounds):
-            out, iters = self._refine_all(out, is_seed=True, rounds=1)
+            # the runtime filter applies ONCE after the whole loop
+            # (mvs.cpp:217); intermediate rounds must not kill seeds that
+            # can still recover (e.g. minCorrelation mid-loop)
+            out, iters = self._refine_all(out, is_seed=True, rounds=1,
+                                          final_filter=False)
             rounds_run += 1
             ref = np.asarray(out.ref_cam)
             mask = np.asarray(out.cam_mask)
@@ -174,6 +178,8 @@ class Reconstructor:
                 if changed.sum() <= max(1, int(0.01 * alive.sum())):
                     break
             prev_ref, prev_mask = ref, mask
+        out = jax.device_get(lc.apply_runtime_filter(
+            self.scene, self.cfg, jax.tree.map(jnp.asarray, out)))
         keep = np.asarray(out.valid)
         n = int(keep.sum())
         self._append_to_arena(out, keep, is_seed=True)
@@ -190,7 +196,8 @@ class Reconstructor:
     # ------------------------------------------------------------------
     # device batching
     # ------------------------------------------------------------------
-    def _refine_all(self, pb: PatchBatch, is_seed: bool, rounds: int):
+    def _refine_all(self, pb: PatchBatch, is_seed: bool, rounds: int,
+                    final_filter: bool = True):
         """Refine an arbitrary-size batch in fixed-shape chunks."""
         cfg = self.cfg
         B = pb.center.shape[0]
@@ -207,17 +214,19 @@ class Reconstructor:
             chunk = jax.tree.map(jnp.asarray, chunk)
             self.key, sub = jax.random.split(self.key)
             if self._dp_mesh is not None:
-                res = self._refine_dp(chunk, sub, is_seed, rounds)
+                res = self._refine_dp(chunk, sub, is_seed, rounds,
+                                      final_filter)
             else:
                 res = lc.refine_batch(self.scene, cfg, chunk, sub,
                                       jnp.float32(self.neighbor_radius),
-                                      is_seed, rounds)
+                                      is_seed, rounds, final_filter)
             outs.append(jax.device_get(res.batch))
             its.append(np.asarray(res.iterations))
         merged = jax.tree.map(lambda *xs: np.concatenate(xs, 0)[:B], *outs)
         return merged, np.concatenate(its)[:B]
 
-    def _refine_dp(self, chunk: PatchBatch, key, is_seed: bool, rounds: int):
+    def _refine_dp(self, chunk: PatchBatch, key, is_seed: bool, rounds: int,
+                   final_filter: bool = True):
         """Patch-axis data-parallel refine_batch over the local-device mesh
         (each shard refines its slice independently; PRNG folds in the
         shard index so swarms stay decorrelated).
@@ -230,7 +239,7 @@ class Reconstructor:
         cache = getattr(self, "_dp_fns", None)
         if cache is None:
             cache = self._dp_fns = {}
-        fn = cache.get((is_seed, rounds))
+        fn = cache.get((is_seed, rounds, final_filter))
         if fn is None:
             cfg = self.cfg
             scene = self.scene
@@ -238,7 +247,7 @@ class Reconstructor:
             def body(pbs, key, nr):
                 k = jax.random.fold_in(key, jax.lax.axis_index("dp"))
                 return lc.refine_batch(scene, cfg, pbs, k, nr, is_seed,
-                                       rounds)
+                                       rounds, final_filter)
 
             spec = jax.tree.map(lambda _: P("dp"), chunk)
             fn = jax.jit(jax.shard_map(
@@ -246,7 +255,7 @@ class Reconstructor:
                 in_specs=(spec, P(), P()),
                 out_specs=lc.RefineResult(spec, P("dp")),
                 check_vma=False))
-            cache[(is_seed, rounds)] = fn
+            cache[(is_seed, rounds, final_filter)] = fn
         return fn(chunk, key, jnp.float32(self.neighbor_radius))
 
     def _append_to_arena(self, out: PatchBatch, keep: np.ndarray,
@@ -731,7 +740,8 @@ class Reconstructor:
 
 
 def _expand_distributed(self, mesh=None, max_rounds: int = 64,
-                        per_shard: int = 256) -> int:
+                        per_shard: int = 256,
+                        autosave_path=None) -> int:
     """SPMD wavefront expansion over a cell-slab device mesh (the
     multi-device counterpart of ``expand``; BASELINE config 5).
 
@@ -778,6 +788,7 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
     self._update_neighbor_radius()
     t0 = time.time()
     total_inserted = 0
+    self._dist_save_time = a.count // 500
     for rnd in range(max_rounds):
         frontier = a.live_ids()
         frontier = frontier[~a.expanded[frontier]]
@@ -830,9 +841,12 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
         self._log(f"dist round {rnd}: {int(np.asarray(valid).sum())} parents"
                   f" -> {int(acc.sum())} inserted"
                   f" (total {len(a.live_ids())})")
-        if not acc.any():
-            # nothing accepted this round and frontier was consumed
-            continue
+        # zero-accept rounds still make progress: the taken parents are
+        # marked expanded, so the frontier drains and the top-of-loop
+        # check terminates
+        if autosave_path and a.count // 500 > self._dist_save_time:
+            self._dist_save_time = a.count // 500
+            self.save_checkpoint(autosave_path)
     self.grids = None          # host grids rebuilt lazily for the filters
     self.stats["dist_expansion_s"] = time.time() - t0
     self.stats["dist_inserted"] = total_inserted

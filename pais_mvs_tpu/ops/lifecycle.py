@@ -279,15 +279,23 @@ class RefineResult(NamedTuple):
     iterations: jnp.ndarray     # [B] PSO iterations of the last round
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "is_seed", "rounds"))
+@functools.partial(jax.jit, static_argnames=("cfg", "is_seed", "rounds",
+                                             "final_filter"))
 def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
-                 neighbor_radius, is_seed: bool, rounds: int) -> RefineResult:
+                 neighbor_radius, is_seed: bool, rounds: int,
+                 final_filter: bool = True) -> RefineResult:
     """Batched Patch::refine (patch.cpp:114-176) + the follow-up
     removeInvisibleCamera its callers perform (mvs.cpp:215, 574).
 
     Seeds: full normal range, 2x particles & iterations, ``rounds``
     re-optimization rounds. Expansion: narrowed normal range
     (+-pi/reduceNormalRange), 1 round.
+
+    ``final_filter=False`` skips the trailing MVS::runtimeFiltering gate —
+    callers driving the re-optimization loop from the host pass it for the
+    intermediate rounds, because the reference applies runtimeFiltering
+    ONCE after the whole refine loop (mvs.cpp:217), and a seed that fails
+    e.g. the minCorrelation clause mid-loop may still recover.
     """
     rig = scene.rig
     B = pb.capacity
@@ -378,8 +386,17 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
         img_point=img_point,
         color=jnp.where(valid[:, None], color, pb.color),
         valid=valid)
-    keep = runtime_filter_static(scene, cfg, out)
-    return RefineResult(out.replace(valid=keep), iters)
+    if final_filter:
+        out = out.replace(valid=runtime_filter_static(scene, cfg, out))
+    return RefineResult(out, iters)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def apply_runtime_filter(scene: Scene, cfg: MvsConfig,
+                         pb: PatchBatch) -> PatchBatch:
+    """Standalone MVS::runtimeFiltering gate (for host-driven round loops
+    that defer it to the end, matching mvs.cpp:217)."""
+    return pb.replace(valid=runtime_filter_static(scene, cfg, pb))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

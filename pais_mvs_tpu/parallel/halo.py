@@ -314,9 +314,23 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap_per,
                               False, 1)
         accepted = res.batch.valid
 
-        # occupancy scatter of the survivors (their owner is this shard)
-        lcol = jnp.clip(routed.col - k * slab_cols, 0, slab_cols - 1)
-        rowc = jnp.clip(row, 0, grid_h - 1)
+        # occupancy scatter of the survivors at their REFINED cell (refine
+        # recomputes ref_cam/img_point and the patch can shift a cell);
+        # when the refined cell leaves this shard's slab, fall back to the
+        # candidate cell — a documented approximation of the cross-shard
+        # ownership handoff
+        rb = res.batch
+        ref_ip = jnp.take_along_axis(
+            rb.img_point, rb.ref_cam[:, None, None].repeat(2, -1),
+            axis=1)[:, 0]
+        fcol = (ref_ip[:, 0] / cell_size).astype(jnp.int32)
+        frow = (ref_ip[:, 1] / cell_size).astype(jnp.int32)
+        flocal = fcol - k * slab_cols
+        in_slab = (flocal >= 0) & (flocal < slab_cols) &                   (frow >= 0) & (frow < grid_h)
+        lcol0 = jnp.clip(routed.col - k * slab_cols, 0, slab_cols - 1)
+        row0 = jnp.clip(row, 0, grid_h - 1)
+        lcol = jnp.where(in_slab, jnp.clip(flocal, 0, slab_cols - 1), lcol0)
+        rowc = jnp.where(in_slab, jnp.clip(frow, 0, grid_h - 1), row0)
         occ2 = occ.at[lcol, rowc].add(accepted.astype(occ.dtype))
         return res.batch, accepted, occ2
 

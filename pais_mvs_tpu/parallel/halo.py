@@ -315,23 +315,23 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap_per,
         accepted = res.batch.valid
 
         # occupancy scatter of the survivors at their REFINED cell (refine
-        # recomputes ref_cam/img_point and the patch can shift a cell);
-        # when the refined cell leaves this shard's slab, fall back to the
-        # candidate cell — a documented approximation of the cross-shard
-        # ownership handoff
+        # recomputes ref_cam/img_point and the patch can shift a cell):
+        # increments halo-route to the owning shard like the candidates
+        # did. Cells more than one slab away (a ref-camera switch across
+        # the grid — rare) are dropped by the ring exchange; that bounded
+        # undercount only makes the density cap slightly more permissive.
         rb = res.batch
         ref_ip = jnp.take_along_axis(
             rb.img_point, rb.ref_cam[:, None, None].repeat(2, -1),
             axis=1)[:, 0]
         fcol = (ref_ip[:, 0] / cell_size).astype(jnp.int32)
-        frow = (ref_ip[:, 1] / cell_size).astype(jnp.int32)
-        flocal = fcol - k * slab_cols
-        in_slab = (flocal >= 0) & (flocal < slab_cols) &                   (frow >= 0) & (frow < grid_h)
-        lcol0 = jnp.clip(routed.col - k * slab_cols, 0, slab_cols - 1)
-        row0 = jnp.clip(row, 0, grid_h - 1)
-        lcol = jnp.where(in_slab, jnp.clip(flocal, 0, slab_cols - 1), lcol0)
-        rowc = jnp.where(in_slab, jnp.clip(frow, 0, grid_h - 1), row0)
-        occ2 = occ.at[lcol, rowc].add(accepted.astype(occ.dtype))
+        frow = jnp.clip((ref_ip[:, 1] / cell_size).astype(jnp.int32),
+                        0, grid_h - 1)
+        inc = halo_route(frow[:, None].astype(jnp.float32),
+                         jnp.clip(fcol, 0, grid_w - 1), accepted, slab_cols)
+        ilcol = jnp.clip(inc.col - k * slab_cols, 0, slab_cols - 1)
+        irow = jnp.clip(inc.payload[:, 0].astype(jnp.int32), 0, grid_h - 1)
+        occ2 = occ.at[ilcol, irow].add(inc.valid.astype(occ.dtype))
         return res.batch, accepted, occ2
 
     spec_pb = jax.tree.map(lambda _: P(PATCH_AXIS),

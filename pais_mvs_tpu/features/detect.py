@@ -118,8 +118,8 @@ def detect_keypoints(img: jnp.ndarray, num_octaves: int = 4, scales: int = 3,
     gaussians = []
     for o in range(num_octaves):
         H, W = base.shape
-        if H < 32 or W < 32:
-            break
+        if o > 0 and (H < 32 or W < 32):
+            break     # octave 0 always runs, even on tiny images
         gs = [base]
         for i in range(1, scales + 3):
             sp = sigma0 * (k ** (i - 1))

@@ -130,7 +130,9 @@ def generate_seed_patches(params: Sequence[CameraParams],
 
     pairs = mat.match_all_pairs(descs, xys, masks, Fs,
                                 max_epipolar_dist=max_epipolar_dist)
-    k_per_cam = int(xys[0].shape[0])
+    # cameras of different sizes yield different octave/keypoint counts —
+    # size the union-find by the LARGEST so node ids never collide
+    k_per_cam = max(int(x.shape[0]) for x in xys)
     tracks = merge_tracks(pairs, C, k_per_cam, cfg.min_cam_num)
     if not tracks:
         z = np.zeros

@@ -165,7 +165,10 @@ def ray_plane_intersect(origin, direction, plane_point, plane_normal):
 
 def inv3x3(M):
     """Closed-form (adjugate) 3x3 inverse with max-abs row/col scaling for
-    f32 conditioning. Batched over leading dims. Returns (inv, det_ok)."""
+    f32 conditioning. Batched over leading dims. Returns (inv, det_ok).
+
+    Utility primitive: the homography path deliberately does NOT use it
+    (plane_homography inverts a triangular K in closed form instead)."""
     s = jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True)
     s = jnp.where(s == 0, 1.0, s)
     A = M / s

@@ -25,12 +25,18 @@ from pais_mvs_tpu.ops import geometry as geom
 from pais_mvs_tpu.ops.pso import gln_pso
 
 
-def _fitness_fn(cfg: MvsConfig):
-    """Select the photoconsistency backend (decided at trace time)."""
+def _resolve_backend(cfg: MvsConfig) -> str:
+    """'auto' picks the Pallas kernel on accelerators and the jnp reference
+    on CPU (the TPU platform may be named "tpu" or, tunneled, "axon")."""
     backend = cfg.fitness_backend
     if backend == "auto":
-        # the TPU platform may be named "tpu" or (tunneled) "axon"
         backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    return backend
+
+
+def _fitness_fn(cfg: MvsConfig):
+    """Select the photoconsistency backend (decided at trace time)."""
+    backend = _resolve_backend(cfg)
     if backend == "pallas":
         from pais_mvs_tpu.ops.pallas_fitness import patch_fitness_pallas
         return functools.partial(patch_fitness_pallas,
@@ -160,10 +166,7 @@ def remove_invisible_cameras(scene: Scene, cfg: MvsConfig,
     rig = scene.rig
     B = center.shape[0]
     C = rig.num_cameras
-    backend = cfg.fitness_backend
-    if backend == "auto":
-        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
-    if backend == "pallas":
+    if _resolve_backend(cfg) == "pallas":
         from pais_mvs_tpu.ops.pallas_fitness import warped_patch_vectors_pallas
         vecs, corr_table, correlation, ok = warped_patch_vectors_pallas(
             scene, cfg, center, normal, ref_cam, cam_mask, lod,

@@ -91,7 +91,10 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
     """
     B, D = range_l.shape
     P = particle_num
-    K = min(local_k, P)
+    # lBest draws from the localK nearest OTHER particles (psosolver.cpp:
+    # 151-191); with small swarms K must stay below P or top_k would admit
+    # the self entry (its distance is masked to inf but still selectable)
+    K = min(local_k, max(P - 1, 1))
     inter = range_u - range_l
     if active0 is None:
         active0 = jnp.ones((B,), dtype=bool)

@@ -102,3 +102,22 @@ def test_generate_seed_patches_on_surface(scene):
     assert np.all(cam_masks.sum(-1) >= 3)
     live = cam_masks.any(0)
     assert live.sum() == 3
+
+
+def test_mixed_resolution_rig_seeding():
+    """Cameras of different resolutions produce different keypoint counts
+    per camera (fewer octaves on smaller images); the track union must
+    handle the ragged counts without id collisions."""
+    big = make_scene(num_cams=4, width=320, height=240, num_seeds=10,
+                     seed=11)
+    small = make_scene(num_cams=4, width=160, height=120, num_seeds=10,
+                       seed=11, focal=0.5 * 1.1 * 320)
+    params = [small.params[0]] + list(big.params[1:])
+    images = [small.images[0]] + list(big.images[1:])
+    cfg = MvsConfig(min_cam_num=3)
+    centers, cam_masks, ipts, colors = generate_seed_patches(
+        params, images, cfg, max_epipolar_dist=3.0,
+        k_per_octave=160, num_octaves=4)
+    assert len(centers) > 5, f"only {len(centers)} tracks"
+    d = big.surface_distance(centers)
+    assert np.median(d) < 0.01, np.median(d)

@@ -32,29 +32,34 @@ def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(g), 0, 255).astype(np.uint8)
 
 
-def _area_weights(n_in: int, n_out: int) -> np.ndarray:
-    """Row-stochastic [n_out, n_in] matrix implementing 1-D area
-    (box-overlap) resampling, the arbitrary-scale INTER_AREA rule."""
+def _area_resample_axis0(img: np.ndarray, n_out: int) -> np.ndarray:
+    """Exact 1-D area (box-overlap) resampling along axis 0 — the
+    arbitrary-scale INTER_AREA rule — via the antiderivative trick:
+    the mean of a piecewise-constant signal over [lo, hi] is
+    (F(hi) - F(lo)) / (hi - lo) with F its piecewise-LINEAR integral,
+    evaluated with interpolation. O(n) per output row instead of the
+    dense [n_out, n_in] weight matrix (which is minutes of host time at
+    4K resolutions)."""
+    n_in = img.shape[0]
+    f = img.astype(np.float64)
+    # F[k] = integral of the signal over [0, k]; F is linear between ints
+    F = np.concatenate([np.zeros((1, f.shape[1])),
+                        np.cumsum(f, axis=0)], axis=0)
     scale = n_in / n_out
-    W = np.zeros((n_out, n_in), dtype=np.float64)
-    for i in range(n_out):
-        lo = i * scale
-        hi = (i + 1) * scale
-        j0 = int(math.floor(lo))
-        j1 = min(int(math.ceil(hi)), n_in)
-        for j in range(j0, j1):
-            overlap = min(hi, j + 1) - max(lo, j)
-            if overlap > 0:
-                W[i, j] = overlap
-        W[i] /= W[i].sum()
-    return W
+    edges = np.arange(n_out + 1) * scale
+    e0 = np.clip(np.floor(edges).astype(np.int64), 0, n_in)
+    frac = (edges - e0)[:, None]
+    # F at fractional positions (piecewise linear; clamp the last edge)
+    Fe = F[e0] + frac * f[np.minimum(e0, n_in - 1)] * (e0 < n_in)[:, None]
+    box = Fe[1:] - Fe[:-1]
+    width = (edges[1:] - edges[:-1])[:, None]
+    return box / width
 
 
 def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Separable area resampling of a 2-D image (float64 out)."""
-    Wh = _area_weights(img.shape[0], out_h)
-    Ww = _area_weights(img.shape[1], out_w)
-    return Wh @ img.astype(np.float64) @ Ww.T
+    tmp = _area_resample_axis0(img, out_h)
+    return _area_resample_axis0(tmp.T, out_w).T
 
 
 def sobel_magnitude(img: np.ndarray) -> np.ndarray:

@@ -76,3 +76,28 @@ def test_rgb_to_gray_bt601():
     assert g[0, 0] == round(0.299 * 255)
     assert g[0, 1] == round(0.587 * 255)
     assert g[1, 0] == round(0.114 * 255)
+
+
+def test_area_resize_matches_dense_weights():
+    """The O(n) antiderivative resampler must equal the textbook dense
+    box-overlap weight matrix exactly."""
+    import math
+    rng = np.random.default_rng(5)
+
+    def dense(n_in, n_out):
+        scale = n_in / n_out
+        W = np.zeros((n_out, n_in))
+        for i in range(n_out):
+            lo, hi = i * scale, (i + 1) * scale
+            for j in range(int(math.floor(lo)),
+                           min(int(math.ceil(hi)), n_in)):
+                ov = min(hi, j + 1) - max(lo, j)
+                if ov > 0:
+                    W[i, j] = ov
+            W[i] /= W[i].sum()
+        return W
+
+    img = rng.uniform(0, 255, (53, 71))
+    ref = dense(53, 37) @ img @ dense(71, 52).T
+    got = pyr.area_resize(img, 37, 52)
+    np.testing.assert_allclose(got, ref, atol=1e-9)

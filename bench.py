@@ -75,6 +75,40 @@ def main():
     compile_s = time.time() - t0
     print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
+    # on-device Pallas-vs-jnp parity self-test (regenerates the PARITY.md
+    # agreement figures every bench run so they cannot silently rot)
+    if os.environ.get("BENCH_SELFTEST", "1") != "0":
+        from pais_mvs_tpu.ops import fitness as F
+        from pais_mvs_tpu.ops import geometry as geom
+        from pais_mvs_tpu.ops.pallas_fitness import patch_fitness_pallas
+        Bs, P = 256, 16
+        sub = jax.tree.map(lambda x: x[:Bs], jax.device_get(pb))
+        normal = geom.spherical_to_normal(jnp.asarray(sub.normal_sph))
+        ref_cam = lc.set_reference_camera(scene, normal, sub.cam_mask)
+        depth, ray = lc.set_depth_and_ray(scene, jnp.asarray(sub.center),
+                                          ref_cam)
+        lod = lc.set_lod(scene, cfg, jnp.asarray(sub.center), ref_cam)
+        sph = jnp.asarray(sub.normal_sph)
+        noise = jax.random.normal(jax.random.PRNGKey(7), (Bs, P, 3)) \
+            * jnp.array([0.3, 0.3, 0.002])        # deliberately wide
+        pos = jnp.stack([sph[:, 0], sph[:, 1], depth], -1)[:, None, :] + noise
+        f_ref = np.asarray(F.patch_fitness(scene, cfg, ref_cam, sub.cam_mask,
+                                           lod, ray, pos))
+        f_pal = np.asarray(patch_fitness_pallas(scene, cfg, ref_cam,
+                                                sub.cam_mask, lod, ray, pos))
+        big = 1e19
+        v_ref, v_pal = f_ref < big, f_pal < big
+        agree = float((v_ref == v_pal).mean())
+        both = v_ref & v_pal
+        err = np.abs(f_ref[both] - f_pal[both]) if both.any() else np.zeros(1)
+        print(f"selftest: validity agreement {agree:.3f} "
+              f"(pallas-only-invalid {float((v_ref & ~v_pal).mean()):.3f}), "
+              f"|fit err| p50 {np.percentile(err, 50):.2e} "
+              f"p99 {np.percentile(err, 99):.2e}", file=sys.stderr)
+        if agree < 0.95:
+            print("selftest: AGREEMENT BELOW 0.95 — kernel parity regressed",
+                  file=sys.stderr)
+
     # steady state
     t0 = time.time()
     for i in range(reps):
@@ -90,7 +124,9 @@ def main():
         keep.any() else np.array([np.inf])
     print(f"accepted {keep.sum()}/{B}, median surface dist "
           f"{np.median(d):.5f}", file=sys.stderr)
-    quality_ok = keep.sum() > B * 0.5 and np.median(d) < 0.02
+    # gate at ~10x the measured steady-state quality (2.6e-4), not the old
+    # 100x-loose 0.02 — a real regression must fail the gate
+    quality_ok = keep.sum() > B * 0.5 and np.median(d) < 0.003
 
     cpu_pps = 0.979
     try:

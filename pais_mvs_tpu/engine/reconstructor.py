@@ -260,7 +260,12 @@ class Reconstructor:
 
     def _append_to_arena(self, out: PatchBatch, keep: np.ndarray,
                          is_seed: bool) -> np.ndarray:
-        idx = np.nonzero(keep)[0]
+        return self._append_rows(out, np.nonzero(keep)[0], is_seed)
+
+    def _append_rows(self, out: PatchBatch, idx: np.ndarray,
+                     is_seed: bool) -> np.ndarray:
+        """Append the given rows IN ORDER (ids are assigned sequentially,
+        so callers that pre-registered grid ids must pass the same order)."""
         if len(idx) == 0:
             return np.zeros(0, dtype=np.int64)
         ids = self.arena.append(
@@ -420,6 +425,7 @@ class Reconstructor:
         self._update_neighbor_radius()
         t0 = time.time()
         total_refined = 0
+        t_device = 0.0
         self._save_time = a.count // 500
         for rnd in range(max_rounds):
             frontier = a.live_ids()
@@ -458,6 +464,9 @@ class Reconstructor:
                 continue
             centers, normals, masks = centers[ok], normals[ok], masks[ok]
             parents_kept = np.asarray(cand_parent)[ok]
+            cams_kept = np.asarray(cand_cam)[ok]
+            cx_kept = np.asarray(cand_cx)[ok]
+            cy_kept = np.asarray(cand_cy)[ok]
 
             N = len(centers)
             C = self.scene.num_cameras
@@ -469,28 +478,60 @@ class Reconstructor:
                 normal_sph=np.asarray(sph, dtype=np.float32),
                 cam_mask=np.asarray(masks),
                 valid=np.ones(N, dtype=bool))
+            t_dev0 = time.time()
             out, iters = self._refine_all(jax.device_get(pb), is_seed=False,
                                           rounds=1)
             total_refined += N
             keep = np.asarray(out.valid)
+            out = jax.tree.map(np.asarray, out)   # one transfer, not per-row
+            t_device += time.time() - t_dev0
 
-            # sequential insert in parent-priority order with the cell-
-            # density clause (cells fill as we insert)
+            # sequential insert in parent-priority order: the cell-density
+            # clause AND the skipNeighborCell re-check both run against the
+            # live grid state (cells fill as we insert, exactly as in the
+            # reference's serial loop — without the re-check one wavefront
+            # round over-fills cells ~1.7x vs the serial oracle)
             order = np.argsort(a.data["priority"][parents_kept], kind="stable")
-            out_np = out
-            inserted = 0
-            for i in order:
-                if not keep[i]:
-                    continue
-                cm = np.asarray(out_np.cam_mask)[i]
-                ip = np.asarray(out_np.img_point)[i]
-                if not self._insert_time_cell_filter(cm, ip):
-                    continue
-                ids = self._append_to_arena(
-                    jax.tree.map(lambda x: np.asarray(x)[i:i + 1], out_np),
-                    np.ones(1, dtype=bool), is_seed=False)
-                self.grids.insert_patch(int(ids[0]), cm, ip)
-                inserted += 1
+            if self.use_native:
+                # one native pass decides + registers; rows then land in the
+                # arena in the same order, so ids line up
+                n_arena = a.count
+                cm_all = np.ascontiguousarray(np.asarray(out.cam_mask))
+                ip_all = np.ascontiguousarray(
+                    np.asarray(out.img_point, dtype=np.float64))
+                accept = self.grids.batch_insert(
+                    order, keep, cm_all, ip_all,
+                    parents_kept, cams_kept, cx_kept, cy_kept,
+                    a.data["center"][:n_arena],
+                    a.data["normal_sph"][:n_arena],
+                    a.data["correlation"][:n_arena],
+                    a.alive[:n_arena].astype(np.uint8),
+                    np.asarray(out.center), np.asarray(out.normal_sph),
+                    np.asarray(out.correlation),
+                    cfg.min_correlation, self.neighbor_radius,
+                    cfg.max_cell_patch_num, a.count)
+                sel = order[accept[order]]
+                self._append_rows(out, sel, is_seed=False)
+                inserted = len(sel)
+            else:
+                out_np = jax.tree.map(np.asarray, out)
+                inserted = 0
+                for i in order:
+                    if not keep[i]:
+                        continue
+                    cm = out_np.cam_mask[i]
+                    ip = out_np.img_point[i]
+                    if not self._insert_time_cell_filter(cm, ip):
+                        continue
+                    occ = [q for q in self.grids.cell(
+                               int(cams_kept[i]), int(cx_kept[i]),
+                               int(cy_kept[i])) if a.alive[q]]
+                    if self._skip_neighbor_cell(occ, int(parents_kept[i])):
+                        continue
+                    ids = self._append_rows(out_np, np.asarray([i]),
+                                            is_seed=False)
+                    self.grids.insert_patch(int(ids[0]), cm, ip)
+                    inserted += 1
             self._log(f"round {rnd}: {len(parents)} parents -> {N} candidates"
                       f" -> {inserted} inserted (total {len(a.live_ids())})")
             # autosave every 500 new patches (mvs.cpp:265-268), frontier
@@ -499,10 +540,13 @@ class Reconstructor:
                 self._save_time = a.count // 500
                 self.save_checkpoint(autosave_path)
         self._update_neighbor_radius()
-        self.stats["expansion_s"] = time.time() - t0
+        wall = time.time() - t0
+        self.stats["expansion_s"] = wall
+        self.stats["expansion_device_s"] = round(t_device, 3)
+        self.stats["expansion_host_s"] = round(wall - t_device, 3)
         self.stats["expansion_refined"] = total_refined
         self.stats["expansion_pps"] = round(
-            total_refined / max(time.time() - t0, 1e-9), 2)
+            total_refined / max(wall, 1e-9), 2)
         return len(a.live_ids())
 
     # ------------------------------------------------------------------
@@ -521,11 +565,26 @@ class Reconstructor:
                                     a.data["img_point"][pid])
         a.delete(pid)
 
+    def _native_kill(self, killed: np.ndarray) -> int:
+        """Record natively-performed deletions (the C++ pass already
+        removed them from the grid and flipped its alive copy)."""
+        self.arena.delete(killed)
+        return len(killed)
+
     def cell_filtering(self) -> int:
         """PMVS outlier rule: drop patch j in a cell when
         corr_j * camNum_j < sum of cellmates' correlations (mvs.cpp:279-325)."""
         self._ensure_grids()
         a = self.arena
+        if self.use_native:
+            n = a.count
+            killed = self.grids.cell_filter(
+                self.grids.all_keys(), a.data["correlation"][:n],
+                a.data["cam_mask"][:n], a.data["img_point"][:n],
+                a.alive[:n].astype(np.uint8))
+            removed = self._native_kill(killed)
+            self._log(f"cellFiltering removed {removed}")
+            return removed
         removed = 0
         for key in self.grids.all_keys():
             occ = [p for p in self.grids.cell(*key) if a.alive[p]]
@@ -547,6 +606,15 @@ class Reconstructor:
         self._ensure_grids()
         a = self.arena
         cfg = self.cfg
+        if self.use_native:
+            n = a.count
+            killed = self.grids.visibility_filter(
+                a.live_ids(), a.data["center"][:n], self.np_center,
+                a.data["cam_mask"][:n], a.data["img_point"][:n],
+                a.alive[:n].astype(np.uint8), cfg.min_cam_num)
+            removed = self._native_kill(killed)
+            self._log(f"visibilityFiltering removed {removed}")
+            return removed
         removed = 0
         for pid in a.live_ids():
             mask = a.data["cam_mask"][pid]
@@ -576,6 +644,16 @@ class Reconstructor:
         """3x3-cell neighbourhood support ratio (mvs.cpp:327-397)."""
         self._ensure_grids()
         a = self.arena
+        if self.use_native:
+            n = a.count
+            killed = self.grids.neighbor_cell_filter(
+                self.grids.all_keys(), a.data["center"][:n],
+                a.data["normal_sph"][:n], a.data["cam_mask"][:n],
+                a.data["img_point"][:n], a.alive[:n].astype(np.uint8),
+                self.neighbor_radius, neighbor_ratio)
+            removed = self._native_kill(killed)
+            self._log(f"neighborCellFiltering removed {removed}")
+            return removed
         removed = 0
         for key in self.grids.all_keys():
             cam, x, y = key

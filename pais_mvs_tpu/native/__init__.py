@@ -87,6 +87,21 @@ def _load():
         c.c_void_p, i64p, c.c_int, dp, dp, dp, u8p, u8p, dp,
         c.c_double, c.c_double, c.c_int, i64p, i32p, i32p, i32p, c.c_int]
     lib.tg_neighbor_counts.argtypes = [dp, i64p, c.c_int, c.c_double, i64p]
+    lib.tg_cell_filter.restype = c.c_int
+    lib.tg_cell_filter.argtypes = [c.c_void_p, i32p, i32p, i32p, c.c_int,
+                                   dp, u8p, dp, u8p, i64p, c.c_int]
+    lib.tg_visibility_filter.restype = c.c_int
+    lib.tg_visibility_filter.argtypes = [c.c_void_p, i64p, c.c_int, dp, dp,
+                                         u8p, dp, u8p, c.c_int, i64p, c.c_int]
+    lib.tg_neighbor_cell_filter.restype = c.c_int
+    lib.tg_neighbor_cell_filter.argtypes = [
+        c.c_void_p, i32p, i32p, i32p, c.c_int, dp, dp, u8p, dp, u8p,
+        c.c_double, c.c_double, i64p, c.c_int]
+    lib.tg_batch_insert.restype = c.c_int
+    lib.tg_batch_insert.argtypes = [c.c_void_p, i64p, c.c_int, u8p, u8p, dp,
+                                    i64p, i32p, i32p, i32p, dp, dp, dp, u8p,
+                                    dp, dp, dp, c.c_double, c.c_double,
+                                    c.c_int, c.c_int64, u8p]
 
     LIB = lib
 
@@ -189,6 +204,86 @@ class NativeCellGrids:
             if n >= 0:
                 return op[:n], oc[:n], ox[:n], oy[:n]
             cap *= 2
+
+    @staticmethod
+    def _keys_arrays(keys):
+        k = np.asarray(keys, dtype=np.int32).reshape(-1, 3)
+        return (np.ascontiguousarray(k[:, 0]), np.ascontiguousarray(k[:, 1]),
+                np.ascontiguousarray(k[:, 2]))
+
+    def cell_filter(self, keys, correlation, cam_mask, img_pts, alive):
+        """Whole cellFiltering pass (tg_cell_filter). Mutates ``alive`` and
+        the grid; returns the killed ids."""
+        oc, ox, oy = self._keys_arrays(keys)
+        out = np.empty(max(len(alive), 1), dtype=np.int64)
+        n = LIB.tg_cell_filter(
+            self._g, oc, ox, oy, len(oc),
+            np.ascontiguousarray(correlation, dtype=np.float64),
+            np.ascontiguousarray(cam_mask, dtype=np.uint8),
+            np.ascontiguousarray(img_pts, dtype=np.float64),
+            alive, out, len(out))
+        return out[:n]
+
+    def visibility_filter(self, ids, centers, cam_centers, cam_mask,
+                          img_pts, alive, min_cam_num: int):
+        """Whole visibilityFiltering pass (tg_visibility_filter)."""
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
+        out = np.empty(max(len(ids), 1), dtype=np.int64)
+        n = LIB.tg_visibility_filter(
+            self._g, ids, len(ids),
+            np.ascontiguousarray(centers, dtype=np.float64),
+            np.ascontiguousarray(cam_centers, dtype=np.float64),
+            np.ascontiguousarray(cam_mask, dtype=np.uint8),
+            np.ascontiguousarray(img_pts, dtype=np.float64),
+            alive, int(min_cam_num), out, len(out))
+        return out[:n]
+
+    def neighbor_cell_filter(self, keys, centers, normal_sph, cam_mask,
+                             img_pts, alive, neighbor_radius: float,
+                             ratio: float):
+        """Whole neighborCellFiltering pass (tg_neighbor_cell_filter)."""
+        oc, ox, oy = self._keys_arrays(keys)
+        out = np.empty(max(len(alive), 1), dtype=np.int64)
+        n = LIB.tg_neighbor_cell_filter(
+            self._g, oc, ox, oy, len(oc),
+            np.ascontiguousarray(centers, dtype=np.float64),
+            np.ascontiguousarray(normal_sph, dtype=np.float64),
+            np.ascontiguousarray(cam_mask, dtype=np.uint8),
+            np.ascontiguousarray(img_pts, dtype=np.float64),
+            alive, float(neighbor_radius), float(ratio), out, len(out))
+        return out[:n]
+
+    def batch_insert(self, order, keep, cam_masks, img_pts,
+                     parents, cand_cam, cand_cx, cand_cy,
+                     centers, normal_sph, correlation, alive,
+                     cand_center, cand_sph, cand_corr,
+                     min_correlation: float, neighbor_radius: float,
+                     max_cell_patch_num: int, first_id: int):
+        """Sequential insert-time density + skipNeighborCell re-check +
+        grid registration for one expansion round (tg_batch_insert).
+        Returns the acceptance mask in candidate order; accepted rows got
+        ids first_id..first_id+n-1 in ``order`` sequence."""
+        order = np.ascontiguousarray(order, dtype=np.int64)
+        accept = np.zeros(len(keep), dtype=np.uint8)
+        LIB.tg_batch_insert(
+            self._g, order, len(order),
+            np.ascontiguousarray(keep, dtype=np.uint8),
+            np.ascontiguousarray(cam_masks, dtype=np.uint8),
+            np.ascontiguousarray(img_pts, dtype=np.float64),
+            np.ascontiguousarray(parents, dtype=np.int64),
+            np.ascontiguousarray(cand_cam, dtype=np.int32),
+            np.ascontiguousarray(cand_cx, dtype=np.int32),
+            np.ascontiguousarray(cand_cy, dtype=np.int32),
+            np.ascontiguousarray(centers, dtype=np.float64),
+            np.ascontiguousarray(normal_sph, dtype=np.float64),
+            np.ascontiguousarray(correlation, dtype=np.float64),
+            np.ascontiguousarray(alive, dtype=np.uint8),
+            np.ascontiguousarray(cand_center, dtype=np.float64),
+            np.ascontiguousarray(cand_sph, dtype=np.float64),
+            np.ascontiguousarray(cand_corr, dtype=np.float64),
+            float(min_correlation), float(neighbor_radius),
+            int(max_cell_patch_num), int(first_id), accept)
+        return accept.astype(bool)
 
     @staticmethod
     def build(arena, widths, heights, cell_size: int) -> "NativeCellGrids":

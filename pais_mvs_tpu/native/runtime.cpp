@@ -237,6 +237,246 @@ int tg_candidates(void* h,
     return n_out;
 }
 
+// ---------------------------------------------------------------------------
+// post filters (mvs.cpp:279-446). Each mirrors the Python loop exactly —
+// cells processed in the caller-supplied order, deletions effective
+// immediately (alive flag + grid removal) — so native and Python paths
+// stay bit-identical. out_kill records deleted ids; returns the count.
+// ---------------------------------------------------------------------------
+
+static void kill_patch(Grid* g, int64_t pid, const uint8_t* cam_mask,
+                       const double* img_pts, uint8_t* alive, int C) {
+    alive[pid] = 0;
+    tg_remove_patch(g, static_cast<int>(pid), cam_mask + pid * C,
+                    img_pts + pid * C * 2);
+}
+
+// PMVS outlier rule (mvs.cpp:279-325): in each cell drop patch j when
+// corr_j * camNum_j < sum of cellmates' correlations.
+int tg_cell_filter(void* h, const int* cams, const int* cxs, const int* cys,
+                   int n_cells, const double* correlation,
+                   const uint8_t* cam_mask, const double* img_pts,
+                   uint8_t* alive, int64_t* out_kill, int max_out) {
+    Grid* g = static_cast<Grid*>(h);
+    const int C = g->num_cams;
+    int n_kill = 0;
+    std::vector<int> occ;
+    std::vector<int64_t> kill;
+    for (int ci = 0; ci < n_cells; ++ci) {
+        auto it = g->cells.find(g->key(cams[ci], cxs[ci], cys[ci]));
+        if (it == g->cells.end()) continue;
+        occ.clear();
+        for (int q : it->second)
+            if (alive[q]) occ.push_back(q);
+        if (occ.size() < 2) continue;
+        double tot = 0.0;
+        for (int q : occ) tot += correlation[q];
+        kill.clear();
+        for (int q : occ) {
+            int camn = 0;
+            for (int c = 0; c < C; ++c) camn += cam_mask[q * C + c] ? 1 : 0;
+            if (correlation[q] * camn < tot - correlation[q])
+                kill.push_back(q);
+        }
+        for (int64_t q : kill) {
+            kill_patch(g, q, cam_mask, img_pts, alive, C);
+            if (n_kill < max_out) out_kill[n_kill] = q;
+            ++n_kill;
+        }
+    }
+    return n_kill;
+}
+
+// Depth-ordering consistency per view (mvs.cpp:399-446): a view stops
+// counting when any live cellmate is closer to that camera; drop the patch
+// when fewer than min_cam_num views remain.
+int tg_visibility_filter(void* h, const int64_t* ids, int n_ids,
+                         const double* centers, const double* cam_centers,
+                         const uint8_t* cam_mask, const double* img_pts,
+                         uint8_t* alive, int min_cam_num,
+                         int64_t* out_kill, int max_out) {
+    Grid* g = static_cast<Grid*>(h);
+    const int C = g->num_cams;
+    int n_kill = 0;
+    for (int i = 0; i < n_ids; ++i) {
+        const int64_t pid = ids[i];
+        if (!alive[pid]) continue;
+        const double* p = centers + 3 * pid;
+        int visible = 0;
+        for (int c = 0; c < C; ++c) visible += cam_mask[pid * C + c] ? 1 : 0;
+        for (int c = 0; c < C; ++c) {
+            if (!cam_mask[pid * C + c]) continue;
+            const double* cc = cam_centers + 3 * c;
+            const double d0 = p[0]-cc[0], d1 = p[1]-cc[1], d2 = p[2]-cc[2];
+            const double depth2 = d0*d0 + d1*d1 + d2*d2;
+            int cx, cy;
+            cell_of(g, img_pts[(pid * C + c) * 2],
+                    img_pts[(pid * C + c) * 2 + 1], &cx, &cy);
+            auto it = g->cells.find(g->key(c, cx, cy));
+            if (it == g->cells.end()) continue;
+            for (int q : it->second) {
+                if (q == pid || !alive[q]) continue;
+                const double* pq = centers + 3 * q;
+                const double e0 = pq[0]-cc[0], e1 = pq[1]-cc[1],
+                             e2 = pq[2]-cc[2];
+                if (depth2 > e0*e0 + e1*e1 + e2*e2) { --visible; break; }
+            }
+        }
+        if (visible < min_cam_num) {
+            kill_patch(g, pid, cam_mask, img_pts, alive, C);
+            if (n_kill < max_out) out_kill[n_kill] = pid;
+            ++n_kill;
+        }
+    }
+    return n_kill;
+}
+
+// 3x3-cell neighbourhood support ratio (mvs.cpp:327-397): per cell, drop
+// patches whose fraction of geometric neighbours (isNeighbor) among the
+// neighbourhood's occupants is below the ratio. Kills apply after each
+// cell (matching the reference's per-cell collect-then-delete).
+int tg_neighbor_cell_filter(void* h, const int* cams, const int* cxs,
+                            const int* cys, int n_cells,
+                            const double* centers, const double* normal_sph,
+                            const uint8_t* cam_mask, const double* img_pts,
+                            uint8_t* alive, double neighbor_radius,
+                            double ratio, int64_t* out_kill, int max_out) {
+    Grid* g = static_cast<Grid*>(h);
+    const int C = g->num_cams;
+    int n_kill = 0;
+    std::vector<int64_t> kill;
+    for (int ci = 0; ci < n_cells; ++ci) {
+        const int cam = cams[ci], x = cxs[ci], y = cys[ci];
+        auto it = g->cells.find(g->key(cam, x, y));
+        if (it == g->cells.end()) continue;
+        kill.clear();
+        // snapshot: the Python loop lists occupants before killing any
+        std::vector<int> occ;
+        for (int q : it->second)
+            if (alive[q]) occ.push_back(q);
+        for (int pid : occ) {
+            double n1[3];
+            normal_of(normal_sph + 2 * pid, n1);
+            const double* c1 = centers + 3 * pid;
+            int64_t nsum = 0, nnum = 0;
+            for (int dx = -1; dx <= 1; ++dx) {
+                for (int dy = -1; dy <= 1; ++dy) {
+                    const int nx = x + dx, ny = y + dy;
+                    if (!g->in_map(cam, nx, ny)) continue;
+                    auto jt = g->cells.find(g->key(cam, nx, ny));
+                    if (jt == g->cells.end()) continue;
+                    for (int q : jt->second) {
+                        if (!alive[q]) continue;
+                        ++nsum;
+                        double n2[3];
+                        normal_of(normal_sph + 2 * q, n2);
+                        const double* c2 = centers + 3 * q;
+                        const double d[3] = {c2[0]-c1[0], c2[1]-c1[1],
+                                             c2[2]-c1[2]};
+                        const double dist =
+                            std::fabs(d[0]*n1[0] + d[1]*n1[1] + d[2]*n1[2])
+                          + std::fabs(d[0]*n2[0] + d[1]*n2[1] + d[2]*n2[2]);
+                        if (dist <= neighbor_radius) ++nnum;
+                    }
+                }
+            }
+            if (nsum && static_cast<double>(nnum) / nsum < ratio)
+                kill.push_back(pid);
+        }
+        for (int64_t q : kill) {
+            kill_patch(g, q, cam_mask, img_pts, alive, C);
+            if (n_kill < max_out) out_kill[n_kill] = q;
+            ++n_kill;
+        }
+    }
+    return n_kill;
+}
+
+// Sequential accepted-patch insertion for one expansion round: walks the
+// candidates in priority order and, before each insert, re-applies BOTH
+// runtimeFiltering's density clause (mvs.cpp:877-895) AND the
+// skipNeighborCell test of the candidate's TARGET cell (mvs.cpp:792-807)
+// against the LIVE grid state — in the serial reference, a patch inserted
+// earlier in the round is visible to every later candidate-generation
+// check, and without this re-check a wavefront round over-fills cells
+// ~1.7x vs the reference (measured against the serial oracle).
+// Occupants with id >= first_id are this round's own inserts; their
+// geometry is read from the CANDIDATE arrays via new_row[].
+// Survivors get consecutive ids starting at first_id; marks out_accept;
+// returns the number inserted.
+int tg_batch_insert(void* h, const int64_t* order, int n,
+                    const uint8_t* keep, const uint8_t* cam_masks,
+                    const double* img_pts,
+                    const int64_t* parents,      // [N] arena parent ids
+                    const int* cand_cam, const int* cand_cx,
+                    const int* cand_cy,          // [N] target cells
+                    const double* centers,       // arena [*, 3]
+                    const double* normal_sph,    // arena [*, 2]
+                    const double* correlation,   // arena [*]
+                    const uint8_t* alive,        // arena [*]
+                    const double* cand_center,   // [N, 3] refined
+                    const double* cand_sph,      // [N, 2]
+                    const double* cand_corr,     // [N]
+                    double min_correlation, double neighbor_radius,
+                    int max_cell_patch_num,
+                    int64_t first_id, uint8_t* out_accept) {
+    Grid* g = static_cast<Grid*>(h);
+    const int C = g->num_cams;
+    int n_acc = 0;
+    std::vector<int> new_row;                    // id - first_id -> cand row
+    for (int k = 0; k < n; ++k) {
+        const int64_t i = order[k];
+        out_accept[i] = 0;
+        if (!keep[i]) continue;
+        if (!tg_insert_time_filter(h, cam_masks + i * C,
+                                   img_pts + i * C * 2,
+                                   max_cell_patch_num)) continue;
+        // skipNeighborCell re-check on the candidate's target cell
+        const int64_t pid = parents[i];
+        double n1[3];
+        normal_of(normal_sph + 2 * pid, n1);
+        const double* c1 = centers + 3 * pid;
+        auto it = g->cells.find(g->key(cand_cam[i], cand_cx[i], cand_cy[i]));
+        bool skip = false;
+        if (it != g->cells.end()) {
+            if (static_cast<int>(it->second.size()) >= max_cell_patch_num)
+                skip = true;
+            for (size_t qi = 0; !skip && qi < it->second.size(); ++qi) {
+                const int q = it->second[qi];
+                const double* cq;
+                const double* sq;
+                double corrq;
+                if (q >= first_id) {
+                    const int row = new_row[q - first_id];
+                    cq = cand_center + 3 * row;
+                    sq = cand_sph + 2 * row;
+                    corrq = cand_corr[row];
+                } else {
+                    if (!alive[q]) continue;
+                    cq = centers + 3 * q;
+                    sq = normal_sph + 2 * q;
+                    corrq = correlation[q];
+                }
+                if (corrq > min_correlation) { skip = true; break; }
+                double n2[3];
+                normal_of(sq, n2);
+                const double d[3] = {cq[0]-c1[0], cq[1]-c1[1], cq[2]-c1[2]};
+                const double dist =
+                    std::fabs(d[0]*n1[0] + d[1]*n1[1] + d[2]*n1[2])
+                  + std::fabs(d[0]*n2[0] + d[1]*n2[1] + d[2]*n2[2]);
+                if (dist <= neighbor_radius) { skip = true; break; }
+            }
+        }
+        if (skip) continue;
+        tg_insert_patch(h, static_cast<int>(first_id + n_acc),
+                        cam_masks + i * C, img_pts + i * C * 2);
+        new_row.push_back(static_cast<int>(i));
+        out_accept[i] = 1;
+        ++n_acc;
+    }
+    return n_acc;
+}
+
 // Grid-hashed Euclidean neighbour counts (neighborPatchFiltering's inner
 // O(N^2) loop, mvs.cpp:465-508): count patches within ``radius`` of each
 // patch (excluding self). Same counts as brute force.

@@ -1,8 +1,8 @@
-"""Pallas TPU kernel for the photoconsistency hot loop.
+"""Pallas TPU kernels for the photoconsistency hot loop.
 
 Why the jnp path is slow on TPU: it samples every (patch, particle, pixel,
 view) with element-granularity gathers, which the TPU executes serially.
-This kernel restructures the work around the hardware:
+These kernels restructure the work around the hardware:
 
   * Per (patch, view) a K x K pixel **box** around the warped window is
     DMA'd from the HBM pyramid into VMEM once; all P particles' windows
@@ -11,13 +11,23 @@ This kernel restructures the work around the hardware:
     moves along the reference ray), and the depth search range is ~1 pixel
     of parallax by construction (TMVS/mvs/patch.cpp:463-509), so all
     particles' warped footprints cluster tightly.
-  * Bilinear sampling becomes two small **matmuls on the MXU**: the
-    bilinear row/column weight matrices R [T, K] and Cw [T, K] have entries
-    relu(1 - |coord - index|) (built in-register from iota), and
-    val = rowsum((Cw @ box) * R). No gathers anywhere.
-  * The kernel emits warped intensities [B, C, P, W2]; the masked
-    mean/SAD/weighting reduction stays in dense XLA (bandwidth-bound,
-    fuses well).
+  * Bilinear sampling becomes **matmuls on the MXU**: the bilinear weight
+    matrices have entries relu(1 - |coord - index|) (built in-register
+    from iota). Particles are processed in depth-sorted blocks of 8
+    sharing one slice of the box, so one [KY, KS] x [KS, 8*W2] contraction
+    serves a whole block (v2; see _cell_body / _block_body). No gathers
+    anywhere.
+  * The production fitness path (v3, `patch_fitness_pallas` ->
+    `_fused_kernel`) keeps ALL of a patch's camera boxes VMEM-resident and
+    fuses the cross-camera mean / SAD / adaptive weighting / validity
+    reduction (patch.cpp:979-1046) into the same kernel, emitting [B, P]
+    fitness directly — the [B, C, P, W2] sample tensor (0.6 GB/call at
+    the bench shape) never touches HBM. Per-patch pixel weights
+    (distance table x gradient x foreground) are also computed in-kernel
+    from the ref camera's box + an edge-atlas box.
+  * The NCC/correlation path (`warped_patch_vectors_pallas`) still uses
+    the two-stage sampler (`_run_sampler`): it genuinely needs the warped
+    vectors for the pairwise table.
 
 Samples falling outside the box are flagged invalid; hypotheses needing
 them score BIG — the only (documented) semantic delta vs the exact jnp
@@ -132,8 +142,40 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
                    offs_ref, out_ref, box_f, c, KY, KX, P, W2p, precision)
 
 
+def _slice_width(W2p: int, KX: int) -> int:
+    """Column width of the per-block box slice.
+
+    Must hold one warped window stretched to the region-ratio gate's limit
+    (~1/0.55 = 1.8x) PLUS the residual spread of the block's particle
+    centers around the block mean (particles are depth-sorted host-side, so
+    a block spans ~1/NB of the depth range's parallax). 64 covers the
+    default r<=15 with ~±4 px of spread slack; larger radii widen in
+    32-lane steps (matmul cost is flat in K up to 128, build cost is not).
+    """
+    r_win = int(np.sqrt(W2p)) // 2
+    span_max = 2 * int(1.8 * r_win) + 8
+    if span_max <= 64:
+        return min(64, KX)
+    return min(_round_up(span_max + 16, 32), KX)
+
+
 def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                out_ref, box_f, c, KY, KX, P, W2p, precision):
+    """Particle-BLOCK batched sampling (kernel v2).
+
+    Particles are processed in blocks of PB=8 sharing one KS-wide column
+    slice of the box (centered on the block's mean warped center — valid
+    because the warped window center is the projection of the 3D candidate
+    center, which depends only on depth, and the host depth-sorts particles
+    so block members cluster). Per block the bilinear interp is ONE MXU
+    matmul contracting the box's y axis against the column weights for all
+    PB*T pixels at once, then a VPU row-weighted reduce over KS rows — vs
+    v1's per-particle [KY,64]x[64,T] matmuls the MXU N axis is 8x fuller
+    and the rolls drop from P to NB per cell. The static Python block loop
+    (not fori_loop) lets Mosaic software-pipeline MXU and VPU across
+    blocks; measured 2.1x vs v1 (tools/microbench_kernel.py: A=11.1 vs
+    L=5.3 us/cell).
+    """
     bx = pl.multiple_of(ints_ref[0, c, 0], 128)
     by = pl.multiple_of(ints_ref[0, c, 2], 8)   # LEVEL-coords box origin
     h_img = flts_ref[0, c, 0]
@@ -146,34 +188,14 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
     mlo = flts_ref[0, c, 4]
     mhi = flts_ref[0, c, 5]
 
-    # one-pass bf16 multiplies unless the caller asked for full f32: the
-    # images are 0..255 intensities, bf16's 8-bit mantissa keeps the
-    # bilinear result within ~0.5 intensity — far below the SAD contrast
-    # PSO ranks on.
-    if precision is None:
-        box_v = box_f.astype(jnp.bfloat16)
-    else:
-        box_v = box_f
     T = W2p                                                   # whole window
-    # a single particle's warped footprint spans far fewer columns than the
-    # box (KX is wide only for the 128-lane DMA alignment slack), so each
-    # particle works on a KS-wide slice centered on its own warped center —
-    # the bilinear weight matrix and the multiply-reduce shrink with it
-    # the 64-column slice is only safe when a window stretched to the
-    # region-ratio gate's limit (~1/0.55 = 1.8x) still fits with margin —
-    # otherwise hypotheses the reference accepts would clip to BIG
-    r_win = int(np.sqrt(W2p)) // 2
-    span_max = 2 * int(1.8 * r_win) + 8
-    if KX > 64 and span_max <= 64:
-        KS = 64
-    elif KX > 128:
-        KS = 128
-    else:
-        KS = KX
+    PB = 8 if P % 8 == 0 else 1
+    NB = P // PB
+    KS = _slice_width(W2p, KX)
     # TRANSPOSED weight layout: pixels stay on the LANE axis from the u,v
     # math through the weights, the matmul N axis, the reduction, and the
     # final store — no lane<->sublane relayouts anywhere in the loop (the
-    # [T]-vector-to-matrix-row path was the kernel's real bottleneck)
+    # [T]-vector-to-matrix-row path was v0's real bottleneck)
     iota_xs = jax.lax.broadcasted_iota(jnp.int32, (KS, 1), 0) \
         .astype(jnp.float32)
     iota_ys = jax.lax.broadcasted_iota(jnp.int32, (KY, 1), 0) \
@@ -181,76 +203,85 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
 
     bxf = bx.astype(jnp.float32)
     byf = by.astype(jnp.float32)
+    x = px + offs_ref[0:1, :]                                 # [1, T]
+    y = py + offs_ref[1:2, :]
 
-    def per_particle(p, _):
-        @pl.when(pflags_ref[0, 0, p] != 0)
-        def _particle():
-            _particle_body(p)
-        return 0
+    for i in range(NB):
+        _block_body(i, PB, KS, H_ref, pflags_ref, out_ref, box_f,
+                    x, y, px, py, bxf, byf, h_img, w_img, mlo, mhi,
+                    iota_xs, iota_ys, KX, KY, T, precision)
 
-    def _particle_body(p):
-        h0 = H_ref[0, 0, p, 0]
-        h1 = H_ref[0, 0, p, 1]
-        h2 = H_ref[0, 0, p, 2]
-        h3 = H_ref[0, 0, p, 3]
-        h4 = H_ref[0, 0, p, 4]
-        h5 = H_ref[0, 0, p, 5]
-        h6 = H_ref[0, 0, p, 6]
-        h7 = H_ref[0, 0, p, 7]
-        h8 = H_ref[0, 0, p, 8]
 
-        x = px + offs_ref[0:1, :]                             # [1, T]
-        y = py + offs_ref[1:2, :]
-        wq = h6 * x + h7 * y + h8
-        sw = jnp.where(wq == 0, 1.0, wq)
-        u = (h0 * x + h1 * y + h2) / sw
-        v = (h3 * x + h4 * y + h5) / sw
+def _block_body(i, PB, KS, H_ref, pflags_ref, out_ref, box_f,
+                x, y, px, py, bxf, byf, h_img, w_img, mlo, mhi,
+                iota_xs, iota_ys, KX, KY, T, precision):
+    hs = [[H_ref[0, 0, i * PB + j, k] for k in range(9)] for j in range(PB)]
+    flags = [pflags_ref[0, 0, i * PB + j] for j in range(PB)]
 
-        # this particle's column slice: centered on its warped window
-        # center (px, py are the reference window center; its image under
-        # H is where the footprint clusters)
-        if KS < KX:
-            wc = h6 * px + h7 * py + h8
-            swc = jnp.where(wc == 0, 1.0, wc)
-            uc = (h0 * px + h1 * py + h2) / swc
-            xoff = jnp.clip((uc - bxf).astype(jnp.int32) - KS // 2,
-                            0, KX - KS)
-            # dynamic lane-roll + static slice (Mosaic has no dynamic
-            # lane slicing); wrapped columns land beyond ub's [0, KS-2]
-            # validity window, so they are never read as valid samples.
-            # Roll in f32 (bf16 roll crashes the compiler), cast after.
-            box_p = pltpu.roll(box_f, -xoff, 1)[:, :KS]
-            if precision is None:
-                box_p = box_p.astype(jnp.bfloat16)
-            xofff = xoff.astype(jnp.float32)
-        else:
-            box_p = box_v
-            xofff = 0.0
+    # block slice offset: mean valid warped-window center (scalar math)
+    ucs, n_ok = 0.0, 0
+    for j in range(PB):
+        h = hs[j]
+        wc = h[6] * px + h[7] * py + h[8]
+        uc = (h[0] * px + h[1] * py + h[2]) / jnp.where(wc == 0, 1.0, wc)
+        f = (flags[j] != 0) & (wc != 0)
+        ucs = ucs + jnp.where(f, uc, 0.0)
+        n_ok = n_ok + f.astype(jnp.int32)
 
-        # validity: caller's margins (fitness [2, dim-3), NCC
-        # [0, dim-1)) AND inside the sliced box
-        ub = u - bxf - xofff                                  # [1, T]
-        vb = v - byf
-        ok = ((wq != 0) & (u >= mlo) & (u < w_img - mhi)
-              & (v >= mlo) & (v < h_img - mhi)
-              & (ub >= 0) & (ub <= KS - 2) & (vb >= 0) & (vb <= KY - 2))
-
-        # transposed bilinear weights: [KS, T] and [KY, T]
-        RwT = jnp.maximum(1.0 - jnp.abs(ub - iota_xs), 0.0)
-        CwT = jnp.maximum(1.0 - jnp.abs(vb - iota_ys), 0.0)
+    @pl.when(n_ok > 0)
+    def _blk():
+        uc_mean = ucs / n_ok.astype(jnp.float32)
+        xoff = jnp.clip((uc_mean - bxf).astype(jnp.int32) - KS // 2,
+                        0, KX - KS)
+        # dynamic lane-roll + static slice (Mosaic has no dynamic lane
+        # slicing); wrapped columns land beyond ub's [0, KS-2] validity
+        # window, so they are never read as valid samples. Roll in f32
+        # (bf16 roll crashes the compiler), cast after.
+        box_p = pltpu.roll(box_f, -xoff, 1)[:, :KS]
         if precision is None:
-            tmp = jax.lax.dot_general(
-                box_p, RwT.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [KY, T]
-        else:
-            tmp = jax.lax.dot_general(
-                box_p, RwT, (((1,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=jnp.float32)           # [KY, T]
-        val = jnp.sum(tmp * CwT, axis=0, keepdims=True)       # [1, T]
-        out_ref[0, 0, p, :] = jnp.where(ok, val, -1e9)[0]
+            box_p = box_p.astype(jnp.bfloat16)
+        xofff = xoff.astype(jnp.float32)
 
-    jax.lax.fori_loop(0, P, per_particle, 0)
+        us, vs, oks = [], [], []
+        for j in range(PB):
+            h = hs[j]
+            wq = h[6] * x + h[7] * y + h[8]                   # [1, T]
+            sw = jnp.where(wq == 0, 1.0, wq)
+            u = (h[0] * x + h[1] * y + h[2]) / sw
+            v = (h[3] * x + h[4] * y + h[5]) / sw
+            # validity: caller's margins (fitness [2, dim-3), NCC
+            # [0, dim-1)), inside the sliced box, and particle not
+            # already BIG-fated
+            ok = ((wq != 0) & (flags[j] != 0)
+                  & (u >= mlo) & (u < w_img - mhi)
+                  & (v >= mlo) & (v < h_img - mhi))
+            us.append(u)
+            vs.append(v)
+            oks.append(ok)
+        u_blk = jnp.concatenate(us, axis=1)                   # [1, PB*T]
+        v_blk = jnp.concatenate(vs, axis=1)
+        ok_blk = jnp.concatenate(oks, axis=1)
+
+        ub = u_blk - bxf - xofff
+        vb = v_blk - byf
+        ok_blk = (ok_blk & (ub >= 0) & (ub <= KS - 2)
+                  & (vb >= 0) & (vb <= KY - 2))
+
+        # transposed bilinear weights: [KY, PB*T] and [KS, PB*T]
+        CwT = jnp.maximum(1.0 - jnp.abs(vb - iota_ys), 0.0)
+        RwT = jnp.maximum(1.0 - jnp.abs(ub - iota_xs), 0.0)
+        if precision is None:
+            S = jax.lax.dot_general(
+                box_p, CwT.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [KS, PB*T]
+        else:
+            S = jax.lax.dot_general(
+                box_p, CwT, (((0,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32)           # [KS, PB*T]
+        val = jnp.sum(S * RwT, axis=0, keepdims=True)         # [1, PB*T]
+        res = jnp.where(ok_blk, val, -1e9).reshape(PB, T)
+        out_ref[0, 0, pl.ds(i * PB, PB), :] = res
 
 
 def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
@@ -296,6 +327,21 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     yoff_b = pyrs.yoff[lod][:, None]                          # [B, 1]
     by_atl = jnp.clip(yoff_b + ((cy - cover_y) // 8) * 8, 0, Ha - KY)
     by_lvl = by_atl - yoff_b
+
+    # pad the particle axis to the kernel's block size (PB=8) — AFTER the
+    # box-placement median above, which must see only real particles;
+    # padded particles carry pflag=0 so all-padding blocks are skipped
+    P_out = P
+    if P > 1 and P % 8 != 0:
+        P_pad = _round_up(P, 8)
+        H = jnp.pad(H, ((0, 0), (0, P_pad - P), (0, 0), (0, 0), (0, 0)))
+        if pvalid is None:
+            pvalid = jnp.concatenate(
+                [jnp.ones((B, P), bool),
+                 jnp.zeros((B, P_pad - P), bool)], axis=1)
+        else:
+            pvalid = jnp.pad(pvalid, ((0, 0), (0, P_pad - P)))
+        P = P_pad
 
     offs_np = F.window_offsets(r)                             # [W2, 2]
     offs_t = np.full((2, W2p), 1e7, dtype=np.float32)         # pad -> invalid
@@ -358,7 +404,334 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
         out_shape=jax.ShapeDtypeStruct((B, C, P, W2p), jnp.float32),
         interpret=interpret,
     )(ints, ints, flts, pflags, pyrs.images, Hflat, offs)
-    return vals[..., :W2]
+    return vals[:, :, :P_out, :W2]
+
+
+# ---------------------------------------------------------------------------
+# fused fitness kernel (v3): samples AND the cross-camera weighted-SAD
+# reduction in one pass, emitting [B, P] fitness directly
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(ints_ref, ints2_ref, scal_ref, flts_ref, pflags_ref,
+                  images_ref, edges_ref, H_ref, offs_ref, out_ref,
+                  boxes0, boxes1, ebox0, ebox1, sam, okf, sem0, sem1,
+                  esem0, esem1, *, precision, use_diff, diff_w,
+                  use_dist, use_grad, grad_w):
+    """Grid (B,). One patch per step: all C camera boxes live in VMEM
+    (double-buffered across patches), every particle block is sampled per
+    camera into ``sam``/``okf`` scratch, and the per-pixel mean / SAD /
+    adaptive-difference weighting / candidate-validity reduction
+    (TMVS/mvs/patch.cpp:979-1046) happens in VMEM. Output is [1, P, 1]
+    fitness — vs the v2 two-stage design this removes the [B, C, P, W2]
+    sample tensor (0.6 GB/call at the bench shape) and its XLA epilogue
+    passes from HBM entirely.
+
+    ints: [1, C, 5] i32 (bx, by_atlas, by_level, act, is_ref); ints2: row
+    b+1; scal: [1, 1, 4] f32 (patch_active, cam_num, -, -);
+    flts: [1, C, 4] f32 (h, w, ptx, pty);
+    pflags: [1, 1, P] i32 per-particle validity (facing/in-frame/hok gates);
+    H: [1, C, P, 9] f32; offs: [4, W2p] f32 (dx, dy, dist-weight, pad;
+    dx/dy padding -> 1e7).
+
+    The per-patch pixel weights (Gaussian distance table x gradient
+    x foreground; mvs.cpp:97-114, patch.cpp:986,1029-1038) are computed
+    IN-kernel from the reference camera's box and an edge-atlas box
+    (nearest lookup == bilinear at rounded coordinates, same matmul
+    machinery) — the window rows are contiguous in the box, where the jnp
+    path's per-element gathers cost more than the whole kernel.
+    """
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    C, KY, KX = boxes0.shape
+    P = out_ref.shape[1]
+    W2p = offs_ref.shape[1]
+    PB = 8 if P % 8 == 0 else 1
+    NB = P // PB
+    PT = PB * W2p
+    par = b % 2
+
+    def _copy(src, c, bxv, byv, buf, sem):
+        return pltpu.make_async_copy(
+            src.at[c, pl.ds(byv, KY), pl.ds(bxv, KX)],
+            buf, sem)
+
+    def _own(c, buf, sem):
+        return _copy(images_ref, c,
+                     pl.multiple_of(ints_ref[0, c, 0], 128),
+                     pl.multiple_of(ints_ref[0, c, 1], 8),
+                     buf.at[c], sem.at[c])
+
+    # the reference camera's row of ints (scalar blend over is_ref)
+    def _ref_scalars(iref):
+        rv = iref[0, 0, 4] * 0
+        rbx = rv
+        rby = rv
+        for c in range(C):
+            isr = iref[0, c, 4]
+            rv = rv + c * isr
+            rbx = rbx + iref[0, c, 0] * isr
+            rby = rby + iref[0, c, 1] * isr
+        return rv, pl.multiple_of(rbx, 128), pl.multiple_of(rby, 8)
+
+    rv, rbx, rby = _ref_scalars(ints_ref)
+    nrv, nrbx, nrby = _ref_scalars(ints2_ref)
+
+    def _ecopy(rvv, bxv, byv, buf, sem):
+        return _copy(edges_ref, rvv, bxv, byv, buf, sem)
+
+    @pl.when(b == 0)
+    def _efirst():
+        _ecopy(rv, rbx, rby, ebox0, esem0).start()
+
+    for c in range(C):
+        @pl.when((b == 0) & (ints_ref[0, c, 3] != 0))
+        def _first(c=c):
+            _own(c, boxes0, sem0).start()
+
+    for c in range(C):
+        @pl.when((ints_ref[0, c, 3] != 0) & (par == 0))
+        def _w0(c=c):
+            _own(c, boxes0, sem0).wait()
+
+        @pl.when((ints_ref[0, c, 3] != 0) & (par == 1))
+        def _w1(c=c):
+            _own(c, boxes1, sem1).wait()
+
+    @pl.when(par == 0)
+    def _ew0():
+        _ecopy(rv, rbx, rby, ebox0, esem0).wait()
+
+    @pl.when(par == 1)
+    def _ew1():
+        _ecopy(rv, rbx, rby, ebox1, esem1).wait()
+
+    # prefetch the next patch's boxes into the other buffer
+    for c in range(C):
+        nact = ints2_ref[0, c, 3]
+        nbx = pl.multiple_of(ints2_ref[0, c, 0], 128)
+        nby = pl.multiple_of(ints2_ref[0, c, 1], 8)
+
+        @pl.when((b < B - 1) & (nact != 0) & (par == 0))
+        def _p0(c=c, nbx=nbx, nby=nby):
+            _copy(images_ref, c, nbx, nby, boxes1.at[c], sem1.at[c]).start()
+
+        @pl.when((b < B - 1) & (nact != 0) & (par == 1))
+        def _p1(c=c, nbx=nbx, nby=nby):
+            _copy(images_ref, c, nbx, nby, boxes0.at[c], sem0.at[c]).start()
+
+    @pl.when((b < B - 1) & (par == 0))
+    def _ep0():
+        _ecopy(nrv, nrbx, nrby, ebox1, esem1).start()
+
+    @pl.when((b < B - 1) & (par == 1))
+    def _ep1():
+        _ecopy(nrv, nrbx, nrby, ebox0, esem0).start()
+
+    @pl.when(scal_ref[0, 0, 0] == 0)
+    def _dead():
+        out_ref[0, :, :] = jnp.full((P, 1), float(BIG), jnp.float32)
+
+    @pl.when(scal_ref[0, 0, 0] != 0)
+    def _alive():
+        _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref,
+                    offs_ref, out_ref, boxes0, boxes1, ebox0, ebox1,
+                    sam, okf, par, C, KY, KX, P, PB, NB, PT, W2p,
+                    precision, use_diff, diff_w, use_dist, use_grad, grad_w)
+
+
+def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
+                out_ref, boxes0, boxes1, ebox0, ebox1, sam, okf, par,
+                C, KY, KX, P, PB, NB, PT, W2p, precision, use_diff, diff_w,
+                use_dist, use_grad, grad_w):
+    cn = scal_ref[0, 0, 1]
+    px = flts_ref[0, 0, 2]                  # ref-window center (all rows eq)
+    py = flts_ref[0, 0, 3]
+    x = px + offs_ref[0:1, :]                                 # [1, W2p]
+    y = py + offs_ref[1:2, :]
+    KS = _slice_width(W2p, KX)
+    iota_xs = jax.lax.broadcasted_iota(jnp.int32, (KS, 1), 0) \
+        .astype(jnp.float32)
+    iota_ys = jax.lax.broadcasted_iota(jnp.int32, (KY, 1), 0) \
+        .astype(jnp.float32)
+
+    # ---- per-patch pixel weights from the ref box + edge box ----
+    # (nearest == bilinear at rounded integer coordinates)
+    rbxf, rbyf = 0.0, 0.0
+    for c in range(C):
+        isrf = ints_ref[0, c, 4].astype(jnp.float32)
+        rbxf = rbxf + ints_ref[0, c, 0].astype(jnp.float32) * isrf
+        rbyf = rbyf + ints_ref[0, c, 2].astype(jnp.float32) * isrf
+    # hoist the parity select: one box read per camera per patch
+    box_vals = [jax.lax.cond(par == 0, lambda c=c: boxes0[c],
+                             lambda c=c: boxes1[c]) for c in range(C)]
+    rbox = jnp.zeros((KY, KX), jnp.float32)
+    for c in range(C):
+        isrf = ints_ref[0, c, 4].astype(jnp.float32)
+        rbox = rbox + box_vals[c] * isrf
+    ebox = jax.lax.cond(par == 0, lambda: ebox0[:, :], lambda: ebox1[:, :])
+
+    padm = offs_ref[0:1, :] < 1e6                             # real pixels
+    xr = jnp.round(jnp.where(padm, x, 0.0))
+    yr = jnp.round(jnp.where(padm, y, 0.0))
+    xoff_r = jnp.clip(jnp.round(px).astype(jnp.int32)
+                      - rbxf.astype(jnp.int32) - KS // 2, 0, KX - KS)
+    ubr = xr - rbxf - xoff_r.astype(jnp.float32)
+    vbr = yr - rbyf
+    RwTr = jnp.maximum(1.0 - jnp.abs(ubr - iota_xs), 0.0)     # [KS, W2p]
+    CwTr = jnp.maximum(1.0 - jnp.abs(vbr - iota_ys), 0.0)     # [KY, W2p]
+    rbox_s = pltpu.roll(rbox, -xoff_r, 1)[:, :KS]
+    ebox_s = pltpu.roll(ebox, -xoff_r, 1)[:, :KS]
+    in_box = ((ubr >= 0) & (ubr <= KS - 2) & (vbr >= 0) & (vbr <= KY - 2)
+              & padm)
+    # single-pass bf16 is EXACT for the indicator weights (0/1 and integer
+    # coordinates <= 256 are bf16-representable) and preserves the
+    # zero-vs-nonzero foreground test (bf16 of a nonzero 1..255 intensity
+    # is never 0); edge values only feed a smooth weight — but the precise
+    # path keeps full f32 so strict parity vs the jnp reference holds
+    if precision is None:
+        def _nn_dot(box_s):
+            return jax.lax.dot_general(
+                box_s.astype(jnp.bfloat16), CwTr.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [KS, W2p]
+    else:
+        def _nn_dot(box_s):
+            return jax.lax.dot_general(
+                box_s, CwTr, (((0,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+    ref_val = jnp.sum(_nn_dot(rbox_s) * RwTr, axis=0, keepdims=True)
+    fg = jnp.where(in_box & (ref_val != 0), 1.0, 0.0)
+    w_pix = fg
+    if use_dist:
+        w_pix = w_pix * offs_ref[2:3, :]
+    if use_grad:
+        edge_val = jnp.sum(_nn_dot(ebox_s) * RwTr, axis=0, keepdims=True)
+        safe_edge = jnp.maximum(edge_val * grad_w, 1e-20)
+        w_pix = w_pix * jnp.exp(-1.0 / safe_edge)
+
+    wt = jnp.concatenate([w_pix] * PB, axis=1)                # [1, PT]
+    ft = jnp.concatenate([fg] * PB, axis=1)
+
+    for i in range(NB):
+        flags = [pflags_ref[0, 0, i * PB + j] for j in range(PB)]
+        nval = flags[0] * 0
+        for f in flags:
+            nval = nval + (f != 0).astype(jnp.int32)
+
+        @pl.when(nval == 0)
+        def _skip(i=i):
+            out_ref[0, pl.ds(i * PB, PB), :] = jnp.full(
+                (PB, 1), float(BIG), jnp.float32)
+
+        @pl.when(nval > 0)
+        def _blk(i=i, flags=flags):
+            # ---- pass A: per-camera warped samples into scratch ----
+            for c in range(C):
+                act_c = ints_ref[0, c, 3]
+
+                @pl.when(act_c != 0)
+                def _cam(c=c, i=i, flags=flags):
+                    val, ok = _sample_block(
+                        H_ref, box_vals[c], c, i, PB, KS, flags, x, y,
+                        px, py,
+                        ints_ref[0, c, 0].astype(jnp.float32),
+                        ints_ref[0, c, 2].astype(jnp.float32),
+                        flts_ref[0, c, 0], flts_ref[0, c, 1],
+                        iota_xs, iota_ys, KX, KY, precision)
+                    sam[pl.ds(c, 1), :] = jnp.where(ok, val, 0.0)
+                    okf[pl.ds(c, 1), :] = ok.astype(jnp.float32)
+
+                @pl.when(act_c == 0)
+                def _cam0(c=c):
+                    sam[pl.ds(c, 1), :] = jnp.zeros((1, PT), jnp.float32)
+                    okf[pl.ds(c, 1), :] = jnp.ones((1, PT), jnp.float32)
+
+            # ---- pass B: cross-camera weighted-SAD reduction (VMEM) ----
+            sum_v = sam[0:1, :]
+            for c in range(1, C):
+                sum_v = sum_v + sam[pl.ds(c, 1), :]
+            mean = sum_v / cn
+            absdev = jnp.zeros((1, PT), jnp.float32)
+            okacc = jnp.ones((1, PT), jnp.float32)
+            for c in range(C):
+                actf = (ints_ref[0, c, 3] != 0).astype(jnp.float32)
+                absdev = absdev + jnp.abs(sam[pl.ds(c, 1), :] - mean) * actf
+                okacc = okacc * okf[pl.ds(c, 1), :]
+            sad = absdev / cn
+
+            w = wt
+            if use_diff:
+                w = w * jnp.exp(-sad * sad * (1.0 / diff_w))
+            # fold the kill condition (fg pixel with any invalid camera,
+            # patch.cpp:998-1002) into the weight row as a huge negative:
+            # one lane->sublane relayout for both reductions instead of 3
+            wk = w - 1e30 * (ft * (1.0 - okacc))
+            both = jnp.concatenate([wk, w * sad], axis=0)     # [2, PT]
+            sums = jnp.sum(both.reshape(2 * PB, W2p), axis=1,
+                           keepdims=True)                     # [2PB, 1]
+            sw = sums[:PB]
+            sws = sums[PB:]
+            fit = jnp.where(sw > 0, sws / jnp.where(sw > 0, sw, 1.0),
+                            float(BIG))
+            out_ref[0, pl.ds(i * PB, PB), :] = fit
+
+
+def _sample_block(H_ref, box_f, c, i, PB, KS, flags, x, y, px, py,
+                  bxf, byf, h_img, w_img, iota_xs, iota_ys, KX, KY,
+                  precision):
+    """One particle block x one camera: returns (val, ok) [1, PB*W2p].
+    Same math as _block_body (v2), reading H at [0, c, p, k]."""
+    hs = [[H_ref[0, c, i * PB + j, k] for k in range(9)] for j in range(PB)]
+
+    ucs, n_ok = 0.0, 0
+    for j in range(PB):
+        h = hs[j]
+        wc = h[6] * px + h[7] * py + h[8]
+        uc = (h[0] * px + h[1] * py + h[2]) / jnp.where(wc == 0, 1.0, wc)
+        f = (flags[j] != 0) & (wc != 0)
+        ucs = ucs + jnp.where(f, uc, 0.0)
+        n_ok = n_ok + f.astype(jnp.int32)
+    uc_mean = ucs / jnp.maximum(n_ok, 1).astype(jnp.float32)
+    xoff = jnp.clip((uc_mean - bxf).astype(jnp.int32) - KS // 2, 0, KX - KS)
+    box_p = pltpu.roll(box_f, -xoff, 1)[:, :KS]
+    if precision is None:
+        box_p = box_p.astype(jnp.bfloat16)
+    xofff = xoff.astype(jnp.float32)
+
+    us, vs, oks = [], [], []
+    for j in range(PB):
+        h = hs[j]
+        wq = h[6] * x + h[7] * y + h[8]                       # [1, T]
+        swq = jnp.where(wq == 0, 1.0, wq)
+        u = (h[0] * x + h[1] * y + h[2]) / swq
+        v = (h[3] * x + h[4] * y + h[5]) / swq
+        ok = ((wq != 0) & (flags[j] != 0)
+              & (u >= 2.0) & (u < w_img - 3.0)
+              & (v >= 2.0) & (v < h_img - 3.0))
+        us.append(u)
+        vs.append(v)
+        oks.append(ok)
+    u_blk = jnp.concatenate(us, axis=1)                       # [1, PB*T]
+    v_blk = jnp.concatenate(vs, axis=1)
+    ok_blk = jnp.concatenate(oks, axis=1)
+
+    ub = u_blk - bxf - xofff
+    vb = v_blk - byf
+    ok_blk = (ok_blk & (ub >= 0) & (ub <= KS - 2)
+              & (vb >= 0) & (vb <= KY - 2))
+
+    CwT = jnp.maximum(1.0 - jnp.abs(vb - iota_ys), 0.0)       # [KY, PB*T]
+    RwT = jnp.maximum(1.0 - jnp.abs(ub - iota_xs), 0.0)       # [KS, PB*T]
+    if precision is None:
+        S = jax.lax.dot_general(
+            box_p, CwT.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [KS, PB*T]
+    else:
+        S = jax.lax.dot_general(
+            box_p, CwT, (((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    val = jnp.sum(S * RwT, axis=0, keepdims=True)             # [1, PB*T]
+    return val, ok_blk
 
 
 @functools.partial(jax.jit,
@@ -419,6 +792,19 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     """
     rig, pyrs = scene.rig, scene.pyramids
     B, P, _ = pos.shape
+    # depth-sort the particles so each kernel block's warped centers
+    # cluster (the warped window center is the candidate center's
+    # projection — depth-only); fitness is unsorted before returning, so
+    # this is invisible to the PSO. Rank-by-counting beats argsort here:
+    # P is tiny, and the O(P^2) compare + one scatter avoids XLA's
+    # general sort lowering (several ms per call at B=1024).
+    d = pos[..., 2]
+    iot = jnp.arange(P)
+    gt = ((d[:, :, None] > d[:, None, :]) |
+          ((d[:, :, None] == d[:, None, :]) &
+           (iot[None, :, None] > iot[None, None, :])))
+    rank = jnp.sum(gt, axis=-1).astype(jnp.int32)             # [B, P] perm
+    pos = jnp.zeros_like(pos).at[jnp.arange(B)[:, None], rank].set(pos)
     C = rig.num_cameras
     r = cfg.patch_radius
     if cover is None:
@@ -447,55 +833,141 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     in_ref = ((pt[:, 0] - r >= 2) & (pt[:, 0] + r < ref_dims[:, 1] - 3) &
               (pt[:, 1] - r >= 2) & (pt[:, 1] + r < ref_dims[:, 0] - 3))
 
-    # skip converged swarms (their fitness is ignored by the PSO) and
-    # invisible cameras entirely — the kernel leaves those cells unwritten;
-    # likewise per-particle for candidates that are already BIG-fated
-    # (facing away from the reference camera / window out of frame —
-    # exactly the cand_ok gate applied below)
+    # per-cell activity (converged swarms / invisible cameras skip), and
+    # per-particle validity (facing away / window out of the reference
+    # frame / degenerate homography -> BIG without sampling)
     act = cam_mask if active is None else (active[:, None] & cam_mask)
     pvalid = ~facing_bad & in_ref[:, None] & \
         jnp.all(hok | ~cam_mask[:, None, :], axis=-1)         # [B, P]
-    vals = _run_sampler(scene, cfg, H, pt, lod, (2.0, 3.0), cover,
-                        precise, interpret, act=act,
-                        cover_y=cover_y, pvalid=pvalid)       # [B, C, P, W2]
-    vals = jnp.transpose(vals, (0, 2, 3, 1))                  # [B, P, W2, C]
-    vok = vals > INVALID / 2
 
-    # reference-window foreground mask + weights (per patch, not particle)
-    win = pt[:, None, :] + jnp.asarray(F.window_offsets(r))[None]  # [B,W2,2]
-    ref_cam_bw = jnp.broadcast_to(ref_cam[:, None], (B, W2))
-    lod_bw = jnp.broadcast_to(lod[:, None], (B, W2))
-    ref_int = F.nearest_gather(pyrs.images, pyrs.yoff, ref_cam_bw, lod_bw, win)
-    fg = (ref_int != 0)[:, None, :]                           # [B, 1, W2]
+    # (per-patch pixel weights — distance table, gradient, foreground —
+    # are computed IN-kernel from the ref/edge boxes; see _fused_body)
+    fit = _run_fused(scene, cfg, H, pt, lod, cover, cover_y, precise,
+                     interpret, act, pvalid, active, ref_cam, cam_mask)
+    return jnp.take_along_axis(fit, rank, axis=1)
 
-    m = cam_mask[:, None, None, :]
-    cam_num = jnp.sum(cam_mask, axis=-1).astype(vals.dtype)
-    cn = cam_num[:, None, None]
-    # mask by vok AND cam_mask: skipped cells hold garbage (possibly inf,
-    # where a bare *0 would make NaN)
-    use = vok & m
-    uf = use.astype(vals.dtype)
-    vals_z = jnp.where(use, vals, 0.0)
-    mean = jnp.sum(vals_z, axis=-1) / cn
-    sad = jnp.sum(jnp.abs(vals_z - mean[..., None]) * uf, axis=-1) / cn
 
-    pix_ok = jnp.all(vok | ~m, axis=-1)                       # [B, P, W2]
-    cand_ok = jnp.all(pix_ok | ~fg, axis=-1)
-    cand_ok &= jnp.all(hok | ~m[:, :, 0, :], axis=-1)
-    cand_ok &= in_ref[:, None] & ~facing_bad
+def _run_fused(scene: Scene, cfg: MvsConfig, H, pt, lod, cover, cover_y,
+               precise: bool, interpret: bool, act, pvalid, active,
+               ref_cam, cam_mask):
+    """Launch the fused fitness kernel. H: [B, P, C, 3, 3] with particles
+    DEPTH-SORTED along axis 1; pt: [B, 2]; act: [B, C] cells to sample;
+    pvalid: [B, P]. Returns fitness [B, P] (sorted order)."""
+    pyrs = scene.pyramids
+    B, P, C = H.shape[:3]
+    r = cfg.patch_radius
+    Ha, Wa = pyrs.images.shape[1], pyrs.images.shape[2]
+    KY = min(_round_up(2 * cover_y + 7, 8), (Ha // 8) * 8)
+    KX = min(_round_up(2 * cover + 127, 128), Wa)
+    W2 = (2 * r + 1) ** 2
+    W2p = _round_up(W2, 128)
+    cover_y = (KY - 7) // 2
+    cover_x = (KX - 127) // 2
 
-    weight = jnp.ones_like(sad)
+    # box origins: the median-DEPTH particle's warped center (particles
+    # arrive depth-sorted and u varies monotonically with depth along the
+    # epipolar line, so this IS the median center — no sort needed); a
+    # clipped finite mean is the fallback when that particle's homography
+    # is degenerate
+    uvc, _ = geom.homography_apply(H, pt[:, None, None, :])   # [B,P,C,2]
+    finite = jnp.all(jnp.isfinite(uvc), axis=-1, keepdims=True)
+    uvc_cl = jnp.clip(jnp.where(finite, uvc, 0.0), -8192.0, 16384.0)
+    cnt = jnp.sum(finite, axis=1)                             # [B, C, 1]
+    mean_ctr = jnp.sum(uvc_cl, axis=1) / jnp.maximum(cnt, 1)
+    mid = uvc_cl[:, P // 2]                                   # [B, C, 2]
+    ctr = jnp.where(finite[:, P // 2], mid, mean_ctr)         # [B, C, 2]
+    hw = pyrs.dims[jnp.arange(C)[None, :], lod[:, None]]      # [B, C, 2]
+    hwf = hw.astype(jnp.float32)
+    cx = jnp.round(ctr[..., 0]).astype(jnp.int32)
+    cy = jnp.round(ctr[..., 1]).astype(jnp.int32)
+    bx = jnp.clip(((cx - cover_x) // 128) * 128, 0, Wa - KX)
+    yoff_b = pyrs.yoff[lod][:, None]                          # [B, 1]
+    by_atl = jnp.clip(yoff_b + ((cy - cover_y) // 8) * 8, 0, Ha - KY)
+    by_lvl = by_atl - yoff_b
+
+    # pad the particle axis to the kernel's block size (after the median)
+    P_out = P
+    if P > 1 and P % 8 != 0:
+        P_pad = _round_up(P, 8)
+        H = jnp.pad(H, ((0, 0), (0, P_pad - P), (0, 0), (0, 0), (0, 0)))
+        pvalid = jnp.pad(pvalid, ((0, 0), (0, P_pad - P)))
+        P = P_pad
+    PB = 8 if P % 8 == 0 else 1
+
+    offs_t = np.full((4, W2p), 1e7, dtype=np.float32)         # pad -> invalid
+    offs_t[:2, :W2] = F.window_offsets(r).T
+    offs_t[2, :] = 0.0
     if cfg.adaptive_distance_enable:
-        weight = weight * jnp.asarray(F.dist_weight_table(cfg))[None, None, :]
-    if cfg.adaptive_difference_enable:
-        weight = weight * jnp.exp(-sad * sad / jnp.float32(cfg.diff_weighting))
-    if cfg.adaptive_gradient_enable:
-        edge = F.nearest_gather(pyrs.edges, pyrs.yoff, ref_cam_bw, lod_bw, win)
-        safe_edge = jnp.maximum(edge[:, None, :]
-                                * jnp.float32(cfg.gradient_weighting), 1e-20)
-        weight = weight * jnp.exp(-1.0 / safe_edge)
+        offs_t[2, :W2] = F.dist_weight_table(cfg)
+    else:
+        offs_t[2, :W2] = 1.0
+    offs_t[3, :] = 0.0
+    offs = jnp.asarray(offs_t)
 
-    wfg = weight * fg.astype(weight.dtype)
-    sum_w = jnp.sum(wfg, axis=-1)
-    fit = jnp.sum(wfg * sad, axis=-1) / jnp.where(sum_w > 0, sum_w, 1.0)
-    return jnp.where(cand_ok & (sum_w > 0), fit, BIG)
+    Hflat = jnp.transpose(H, (0, 2, 1, 3, 4)).reshape(B, C, P, 9)
+    is_ref = (jnp.arange(C)[None, :] == ref_cam[:, None])
+    ints = jnp.stack([bx, jnp.broadcast_to(by_atl, (B, C)),
+                      jnp.broadcast_to(by_lvl, (B, C)),
+                      act.astype(jnp.int32),
+                      is_ref.astype(jnp.int32)], axis=-1)
+    pflags = pvalid.astype(jnp.int32)[:, None, :]
+    flts = jnp.concatenate(
+        [hwf, jnp.broadcast_to(pt[:, None, :], (B, C, 2))], axis=-1)
+    pactive = jnp.any(act, axis=-1)
+    if active is not None:
+        pactive &= active
+    cn = jnp.sum(cam_mask, axis=-1).astype(jnp.float32)
+    zeros = jnp.zeros((B,), jnp.float32)
+    scal = jnp.stack([pactive.astype(jnp.float32), cn, zeros, zeros],
+                     -1)[:, None, :]                          # [B, 1, 4]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, C, 5), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),            # ints (row b)
+            pl.BlockSpec((1, C, 5),                           # ints (row b+1)
+                         lambda b: (jnp.minimum(b + 1, B - 1), 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),            # scal
+            pl.BlockSpec((1, C, 4), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),            # flts
+            pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),            # pflags
+            pl.BlockSpec(memory_space=pl.ANY),                # images
+            pl.BlockSpec(memory_space=pl.ANY),                # edges
+            pl.BlockSpec((1, C, P, 9), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.SMEM),            # H (scalars)
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # offs
+        ],
+        out_specs=pl.BlockSpec((1, P, 1), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((C, KY, KX), jnp.float32),             # boxes0
+            pltpu.VMEM((C, KY, KX), jnp.float32),             # boxes1
+            pltpu.VMEM((KY, KX), jnp.float32),                # ebox0
+            pltpu.VMEM((KY, KX), jnp.float32),                # ebox1
+            pltpu.VMEM((C, PB * W2p), jnp.float32),           # sam
+            pltpu.VMEM((C, PB * W2p), jnp.float32),           # okf
+            pltpu.SemaphoreType.DMA((C,)),
+            pltpu.SemaphoreType.DMA((C,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, precision=prec,
+                          use_diff=bool(cfg.adaptive_difference_enable),
+                          diff_w=float(cfg.diff_weighting),
+                          use_dist=True,
+                          use_grad=bool(cfg.adaptive_gradient_enable),
+                          grad_w=float(cfg.gradient_weighting)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, 1), jnp.float32),
+        interpret=interpret,
+    )(ints, ints, scal, flts, pflags, pyrs.images, pyrs.edges, Hflat, offs)
+    return out[:, :P_out, 0]

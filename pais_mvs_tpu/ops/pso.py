@@ -38,33 +38,47 @@ class PsoResult(NamedTuple):
 
 def _local_best(pbest, pbest_fit, local_k: int):
     """lBest per particle: among the local_k nearest pBests (excluding
-    self), the one with minimum pBest fitness. pbest: [B, P, D]."""
+    self), the one with minimum pBest fitness. pbest: [B, P, D].
+
+    K iterative argmin extractions instead of ``lax.top_k`` — top_k lowers
+    to a row sort, which measured 3.7 ms/iteration at [1024, 30, 30]
+    (dominating the whole GLN update); the unrolled extraction is ~10x
+    cheaper and selects the same neighbour set (ties broken by index)."""
     d = pbest[:, :, None, :] - pbest[:, None, :, :]
     dist2 = jnp.sum(d * d, axis=-1)                          # [B, P, P]
     P = pbest.shape[1]
     eye = jnp.eye(P, dtype=bool)
     dist2 = jnp.where(eye[None], jnp.inf, dist2)
-    # indices of the local_k nearest neighbours
-    _, nidx = jax.lax.top_k(-dist2, local_k)                 # [B, P, K]
-    nfit = jnp.take_along_axis(pbest_fit[:, None, :].repeat(P, 1), nidx, axis=2)
-    best_k = jnp.argmin(nfit, axis=-1)                       # [B, P]
-    best_idx = jnp.take_along_axis(nidx, best_k[..., None], axis=-1)[..., 0]
-    return jnp.take_along_axis(
-        pbest, best_idx[..., None].repeat(pbest.shape[-1], -1), axis=1)
+    iota = jnp.arange(P)
+    best_fit = jnp.full_like(pbest_fit, jnp.inf)
+    best_idx = jnp.zeros(pbest_fit.shape, jnp.int32)
+    for _ in range(local_k):
+        j = jnp.argmin(dist2, axis=-1).astype(jnp.int32)     # [B, P]
+        fitj = jnp.take_along_axis(pbest_fit, j, axis=1)
+        upd = fitj < best_fit
+        best_fit = jnp.where(upd, fitj, best_fit)
+        best_idx = jnp.where(upd, j, best_idx)
+        dist2 = jnp.where(iota[None, None, :] == j[:, :, None],
+                          jnp.inf, dist2)
+    return jnp.take_along_axis(pbest, best_idx[..., None], axis=1)
 
 
 def _fdr_best(pos, fit, pbest, pbest_fit):
     """nBest per particle per dimension: argmax_j (fit_i - pbestFit_j) /
-    |pos_i[d] - pbest_j[d]| over j != i (psosolver.cpp:193-218)."""
+    |pos_i[d] - pbest_j[d]| over j != i (psosolver.cpp:193-218).
+    Per-dimension loop: 3 contiguous [B, P, P] argmaxes beat one
+    [B, P, P, D] argmax over a middle axis."""
     B, P, D = pos.shape
     num = fit[:, :, None] - pbest_fit[:, None, :]            # [B, P, P]
-    den = jnp.abs(pos[:, :, None, :] - pbest[:, None, :, :])  # [B, P, P, D]
-    fdr = num[..., None] / den                                # inf/-inf ok
-    fdr = jnp.where(jnp.isnan(fdr), -jnp.inf, fdr)
-    eye = jnp.eye(P, dtype=bool)[None, :, :, None]
-    fdr = jnp.where(eye, -jnp.inf, fdr)
-    jbest = jnp.argmax(fdr, axis=2)                           # [B, P, D]
-    return jnp.take_along_axis(pbest, jbest, axis=1)
+    eye = jnp.eye(P, dtype=bool)[None]
+    cols = []
+    for d in range(D):
+        den = jnp.abs(pos[:, :, None, d] - pbest[:, None, :, d])
+        fdr = num / den                                      # inf/-inf ok
+        fdr = jnp.where(jnp.isnan(fdr) | eye, -jnp.inf, fdr)
+        jbest = jnp.argmax(fdr, axis=2)                      # [B, P]
+        cols.append(jnp.take_along_axis(pbest[..., d], jbest, axis=1))
+    return jnp.stack(cols, axis=-1)
 
 
 def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
@@ -135,7 +149,8 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
         done: jnp.ndarray
         iters: jnp.ndarray
 
-    def step(c: Carry, it):
+    def step(c: Carry, xs):
+        it, r4 = xs
         # convergence indices (psosolver.cpp:70-92)
         disp = jnp.mean(jnp.abs(c.pos - c.gbest[:, None, :]), axis=(1, 2))
         velix = jnp.mean(jnp.abs(c.vel), axis=(1, 2))
@@ -143,16 +158,14 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
                          (velix < convergence_threshold))
         active = ~done & active0
 
-        kk = jax.random.fold_in(key, it)
-        kp, kg, kl, kn = jax.random.split(kk, 4)
-        rp = pw * jax.random.uniform(kp, (B, P, 1))
-        rg = gw * jax.random.uniform(kg, (B, P, 1))
+        rp = pw * r4[0]
+        rg = gw * r4[1]
 
         dv = (rp * (c.pbest - c.pos) +
               rg * (c.gbest[:, None, :] - c.pos))
         if enable_gln:
-            rl = lw * jax.random.uniform(kl, (B, P, 1))
-            rn = nw * jax.random.uniform(kn, (B, P, 1))
+            rl = lw * r4[2]
+            rn = nw * r4[3]
             lbest = _local_best(c.pbest, c.pbest_fit, K)
             # FDR uses the particle's CURRENT fitness (psosolver.cpp:195)
             nbest = _fdr_best(c.pos, c.fit, c.pbest, c.pbest_fit)
@@ -185,5 +198,9 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
                jnp.full((B,), iw, dtype=pos.dtype),
                jnp.zeros((B,), dtype=bool),
                jnp.zeros((B,), dtype=jnp.int32))
-    cf, _ = jax.lax.scan(step, c0, jnp.arange(max_iteration))
+    # all per-iteration uniforms in ONE threefry call (4 tiny per-step
+    # generations cost several ms/step at B=1024 on TPU)
+    rand_all = jax.random.uniform(
+        jax.random.fold_in(key, 7), (max_iteration, 4, B, P, 1))
+    cf, _ = jax.lax.scan(step, c0, (jnp.arange(max_iteration), rand_all))
     return PsoResult(cf.gbest, cf.gbest_fit, cf.iters)

@@ -42,7 +42,9 @@ def test_cli_full_flow(disk_scene, monkeypatch):
                  "stats.json", "log.txt"):
         assert (d / name).exists(), name
     f = mvsbin.read_mvs(str(d / "exp.mvs"))
-    assert len(f.patches.centers) > 100
+    # ~97 patches since the insert-time skipNeighborCell re-check matched
+    # the serial reference's cell density (tg_batch_insert)
+    assert len(f.patches.centers) > 80
     d_surf = sc.surface_distance(f.patches.centers)
     assert np.median(d_surf) < 0.01
     stats = json.loads((d / "stats.json").read_text())

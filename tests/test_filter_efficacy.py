@@ -11,11 +11,16 @@ from pais_mvs_tpu.engine.reconstructor import Reconstructor
 
 
 def test_filters_remove_injected_outliers():
+    # neighbor_radius_scalar raised from the pawn default: these synthetic
+    # scenes are near-planar, so the volume^(1/3)-based radius degenerates
+    # below the patch spacing and the PCMVS density rule would kill every
+    # isolated-but-good patch once ANY near-twin pair exists (avg > 0).
+    # 0.08 puts the radius just above the measured patch spacing.
     cfg = MvsConfig(patch_radius=4, max_lod=3, particle_num=6,
                     max_iteration=6, dist_weighting=4 / 3.0,
                     seed_refine_rounds=1, cell_size=4,
                     batch_size=64, wavefront_size=64,
-                    min_correlation=0.7)
+                    min_correlation=0.7, neighbor_radius_scalar=0.08)
     sc = make_scene(num_cams=4, width=160, height=120, num_seeds=30, seed=8)
     rec = Reconstructor(sc.params, sc.images, cfg, verbose=False)
     rec.load_seeds(sc.seed_centers, sc.seed_cam_masks, sc.seed_img_points,

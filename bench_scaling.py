@@ -90,6 +90,132 @@ def main():
             "devices": n, "value": round(pps, 2),
             "unit": "patches/s", "scaling_efficiency": round(eff, 3)}))
 
+    _view_sharded_curve(per_dev)
+    _distributed_expansion_curve(per_dev)
+
+
+def _view_sharded_curve(per_dev: int):
+    """sharded_pso_refine: pyramids sharded over the VIEW axis, fitness
+    psum-reduced across view shards (the memory-scaling path)."""
+    import jax
+    import jax.numpy as jnp
+    from pais_mvs_tpu.config import MvsConfig
+    from pais_mvs_tpu.data.synthetic import make_scene
+    from pais_mvs_tpu.models.camera import build_scene
+    from pais_mvs_tpu.ops import geometry as geom
+    from pais_mvs_tpu.parallel import mesh as mesh_mod
+    from pais_mvs_tpu.parallel.sharded import sharded_pso_refine
+
+    def sync(x):
+        return float(jnp.sum(x))
+
+    devices = jax.devices()
+    C = 4
+    cfg = MvsConfig(particle_num=15, max_iteration=30, dist_weighting=5.0,
+                    max_lod=6)
+    sc = make_scene(num_cams=C, width=640, height=480,
+                    num_seeds=per_dev * len(devices) + 64, seed=0)
+    scene = build_scene(sc.params, sc.images, cfg)
+    base = None
+    for n in range(1, len(devices) + 1):
+        vp = 2 if (n % 2 == 0 and C % 2 == 0) else 1
+        dp = n // vp
+        B = per_dev * dp
+        mesh = mesh_mod.make_mesh((dp, vp), devices[:n])
+        centers = sc.seed_centers[:B].astype(np.float32)
+        ref = np.full(B, 1, np.int32)
+        rays = centers - np.asarray(scene.rig.center)[ref]
+        depths = np.linalg.norm(rays, axis=-1)
+        rays = (rays / depths[:, None]).astype(np.float32)
+        import jax.numpy as jnp
+        n0 = np.asarray(geom.estimated_normal(
+            jnp.asarray(centers), scene.rig.center[None].repeat(B, 0),
+            jnp.ones((B, C), bool)))
+        sph = np.asarray(geom.normal_to_spherical(jnp.asarray(n0)))
+        lo = np.stack([np.zeros(B), sph[:, 1] - np.pi / 2, depths - 0.02],
+                      -1).astype(np.float32)
+        hi = np.stack([np.full(B, np.pi), sph[:, 1] + np.pi / 2,
+                       depths + 0.02], -1).astype(np.float32)
+        init = np.stack([sph[:, 0], sph[:, 1], depths],
+                        -1).astype(np.float32)
+
+        def run(k):
+            return sharded_pso_refine(
+                scene.rig, scene.pyramids.images, scene.pyramids.edges,
+                scene.pyramids.dims, scene.pyramids.yoff, cfg,
+                jnp.asarray(ref), jnp.ones((B, C), bool),
+                jnp.zeros(B, jnp.int32), jnp.asarray(rays),
+                jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(init),
+                k, mesh, cfg.particle_num, cfg.max_iteration)
+        res = run(jax.random.PRNGKey(0))
+        sync(res.gbest_fit)
+        t0 = time.time()
+        reps = 2
+        for i in range(reps):
+            res = run(jax.random.PRNGKey(i))
+        sync(res.gbest_fit)
+        dt = time.time() - t0
+        pps = B * reps / dt
+        if base is None:
+            base = pps
+        # psum traffic: one [B_local, P] fitness reduction per PSO iteration
+        psum_bytes = (B // max(dp, 1)) * cfg.particle_num * 4 \
+            * (cfg.max_iteration + 1) * max(vp - 1, 0)
+        print(json.dumps({
+            "metric": "view-sharded pso refine", "devices": n,
+            "mesh": [dp, vp], "value": round(pps, 2), "unit": "patches/s",
+            "scaling_efficiency": round(pps / (base * n), 3),
+            "psum_bytes_per_call_per_shard": psum_bytes}))
+
+
+def _distributed_expansion_curve(per_dev: int):
+    """Multi-round sharded_expand_step: the full SPMD expansion path
+    (candidates -> ppermute halo -> per-camera dedupe -> refine)."""
+    import jax
+    import jax.numpy as jnp
+    from pais_mvs_tpu.config import MvsConfig
+    from pais_mvs_tpu.data.synthetic import make_scene
+    from pais_mvs_tpu.engine.reconstructor import Reconstructor
+    from pais_mvs_tpu.parallel import mesh as mesh_mod
+
+    devices = jax.devices()
+    rounds = int(os.environ.get("BENCH_EXP_ROUNDS", "3"))
+    per_shard = int(os.environ.get("BENCH_EXP_PER_SHARD", "64"))
+    base = None
+    for n in range(1, len(devices) + 1):
+        cfg = MvsConfig(patch_radius=6, max_lod=4, particle_num=8,
+                        max_iteration=10, dist_weighting=2.0, cell_size=10,
+                        min_cam_num=3, batch_size=256,
+                        seed_refine_rounds=1)
+        sc = make_scene(num_cams=4, width=320, height=240,
+                        num_seeds=per_shard * n, seed=1)
+        rec = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+        rec.load_seeds(sc.seed_centers, sc.seed_cam_masks,
+                       sc.seed_img_points,
+                       np.full((len(sc.seed_centers), 3), 128.0))
+        rec.refine_seeds()
+        mesh = mesh_mod.make_mesh((n, 1), devices[:n])
+        t0 = time.time()
+        rec.expand_distributed(mesh=mesh, max_rounds=rounds,
+                               per_shard=per_shard)
+        dt = time.time() - t0
+        inserted = rec.stats.get("dist_inserted", 0)
+        rps = inserted / dt if dt > 0 else 0.0
+        if base is None:
+            base = max(rps, 1e-9)
+        # ppermute traffic per round per shard: candidate payload rows
+        # (2 directions x 4*per_shard rows x (9 + C) f32) + occupancy
+        # increments (2 x rows x 2 f32)
+        Ccams = 4
+        halo_bytes = 2 * 4 * per_shard * (9 + Ccams) * 4 \
+            + 2 * 12 * per_shard * 2 * 4
+        print(json.dumps({
+            "metric": "distributed expansion", "devices": n,
+            "rounds": rounds, "inserted": int(inserted),
+            "value": round(rps, 2), "unit": "accepted patches/s",
+            "scaling_efficiency": round(rps / (base * n), 3),
+            "ppermute_bytes_per_round_per_shard": halo_bytes}))
+
 
 if __name__ == "__main__":
     main()

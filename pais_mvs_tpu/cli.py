@@ -113,6 +113,18 @@ def _build_reconstructor(path: str, out_dir: str,
             widths = [img.shape[1] for img in images]
             heights = [img.shape[0] for img in images]
             ipts = nvm_io.decenter_image_points(data, widths, heights)
+            if cfg.apply_distortion:
+                from pais_mvs_tpu.models.camera import undistort_points
+                for ci, (cam, img) in enumerate(zip(data.cameras, images)):
+                    if abs(float(cam.radial_distortion)) < 1e-12:
+                        continue
+                    pp = (np.array([img.shape[1] >> 1, img.shape[0] >> 1],
+                                   float)
+                          if cam.principal[0] < 0 and cam.principal[1] < 0
+                          else np.asarray(cam.principal, float))
+                    ipts[:, ci] = undistort_points(
+                        ipts[:, ci], cam.focal, pp,
+                        float(cam.radial_distortion))
             rec.load_seeds(data.centers, data.cam_masks, ipts, data.colors)
         else:
             # no sparse points in the NVM: feature-match our own seeds
@@ -233,10 +245,19 @@ def run_view(path: str, out_dir: str = ".",
     print(f"wrote {out}")
 
     from pais_mvs_tpu.diagnostics import write_html_viewer
+    from pais_mvs_tpu.models.camera import _np_quat_to_rotation
     html = os.path.join(out_dir, "view.html")
+    cam_c = np.array([np.asarray(c.center, float) for c in f.cameras])
+    cam_ax = np.array([
+        _np_quat_to_rotation(np.asarray(c.quaternion, float)).T
+        @ np.array([0.0, 0.0, 1.0]) for c in f.cameras])
     write_html_viewer(html, p.centers,
-                      np.full((len(p.centers), 3), 200.0))
-    print(f"wrote {html} (interactive: orbit/zoom, 'c' color, 'o' replay)")
+                      np.full((len(p.centers), 3), 200.0),
+                      normals=normals, ids=np.arange(len(p.centers)),
+                      cam_centers=cam_c, cam_axes=cam_ax,
+                      cam_names=[c.file_name for c in f.cameras])
+    print(f"wrote {html} (interactive: orbit/zoom, 'c' color, 'o' replay,"
+          f" 'n' normals, 'v' cameras, click = patch readout)")
 
     if patch_id is not None:
         from pais_mvs_tpu.diagnostics import save_patch_diagnostics

@@ -90,6 +90,10 @@ class MvsConfig:
     # Force full-f32 MXU multiplies in the Pallas kernel (~3x slower; the
     # default bf16 passes add ~0.02 intensity units of fitness noise).
     pallas_precise: bool = False
+    # undistort input images + measurements at load so the engine runs pure
+    # pinhole (the reference parses NVM radial distortion but never enables
+    # it at any project() call site; camera.cpp:148-155)
+    apply_distortion: bool = False
 
     @property
     def patch_size(self) -> int:
@@ -138,6 +142,7 @@ _TXT_KEYS = {
     "wavefrontSize": ("wavefront_size", int),
     "seedRefineRounds": ("seed_refine_rounds", int),
     "rngSeed": ("rng_seed", int),
+    "applyDistortion": ("apply_distortion", lambda v: bool(int(v))),
     "dataParallel": ("data_parallel", str),
 }
 

@@ -131,14 +131,20 @@ _HTML_TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>pais-mvs-tpu viewer</title>
 <style>
  body {{ margin:0; background:#111; color:#ccc; font:13px monospace; }}
- #hud {{ position:fixed; top:8px; left:10px; user-select:none; }}
+ #hud {{ position:fixed; top:8px; left:10px; user-select:none;
+        white-space:pre; }}
+ #pick {{ position:fixed; bottom:8px; left:10px; user-select:text;
+         white-space:pre; color:#8f8; }}
  canvas {{ display:block; }}
 </style></head><body>
-<div id="hud">{n} patches — drag: orbit, wheel: zoom, c: color mode,
- o: order replay</div>
+<div id="hud">{n} patches, {ncam} cameras — drag: orbit, wheel: zoom
+c: color mode   o: order replay   n: normals   v: cameras
+click: nearest-patch readout</div>
+<div id="pick"></div>
 <canvas id="cv"></canvas>
 <script>
-const P = {points};   // [x,y,z, r,g,b, order]
+const P = {points};   // [x,y,z, r,g,b, order, nx,ny,nz, id]
+const CAMS = {cams};  // [cx,cy,cz, ox,oy,oz, "name"]
 const cv = document.getElementById('cv');
 const ctx = cv.getContext('2d');
 let W, H; function rs() {{ W=cv.width=innerWidth; H=cv.height=innerHeight; }}
@@ -149,37 +155,79 @@ cx/=P.length; cy/=P.length; cz/=P.length;
 let scale0=0;
 for (const p of P) scale0=Math.max(scale0, Math.hypot(p[0]-cx,p[1]-cy,p[2]-cz));
 let yaw=0.5, pitch=-0.4, zoom=1.0, mode=0, frac=1.0, anim=null;
-function draw() {{
-  ctx.fillStyle='#111'; ctx.fillRect(0,0,W,H);
+let showN=false, showC=true;
+let proj=[];               // [sx, sy, depth, point] of the last draw
+function xform(x, y, z, s) {{
+  x-=cx; y-=cy; z-=cz;
   const cyw=Math.cos(yaw), syw=Math.sin(yaw);
   const cp=Math.cos(pitch), sp=Math.sin(pitch);
+  let x1=cyw*x+syw*z, z1=-syw*x+cyw*z;
+  let y2=cp*y+sp*z1, z2=-sp*y+cp*z1;
+  return [x1*s+W/2, y2*s+H/2, z2];
+}}
+function draw() {{
+  ctx.fillStyle='#111'; ctx.fillRect(0,0,W,H);
   const s = 0.45*Math.min(W,H)/scale0*zoom;
   const lim = Math.floor(P.length*frac);
   const pts = [];
   for (let i=0;i<lim;i++) {{
     const p=P[i];
-    let x=p[0]-cx, y=p[1]-cy, z=p[2]-cz;
-    let x1=cyw*x+syw*z, z1=-syw*x+cyw*z;
-    let y2=cp*y+sp*z1, z2=-sp*y+cp*z1;
-    pts.push([x1*s+W/2, y2*s+H/2, z2, p]);
+    const q=xform(p[0],p[1],p[2],s);
+    pts.push([q[0],q[1],q[2],p]);
   }}
-  pts.sort((a,b)=>a[2]-b[2]);
+  proj = pts;
+  pts.slice().sort((a,b)=>a[2]-b[2]);
+  const nlen = 0.03*scale0;
   for (const q of pts) {{
     const p=q[3];
+    if (showN && p[7]!==undefined) {{
+      const e=xform(p[0]+p[7]*nlen, p[1]+p[8]*nlen, p[2]+p[9]*nlen, s);
+      ctx.strokeStyle='rgba(120,220,120,0.6)';
+      ctx.beginPath(); ctx.moveTo(q[0],q[1]); ctx.lineTo(e[0],e[1]);
+      ctx.stroke();
+    }}
     if (mode===0) ctx.fillStyle=`rgb(${{p[3]}},${{p[4]}},${{p[5]}})`;
     else {{ const t=p[6]; ctx.fillStyle=`hsl(${{240-240*t}},90%,55%)`; }}
     ctx.fillRect(q[0], q[1], 2, 2);
   }}
+  if (showC) for (const cam of CAMS) {{
+    // red camera glyph + yellow optical axis (mvsviewer.cpp:144-256)
+    const q=xform(cam[0],cam[1],cam[2],s);
+    const alen=0.18*scale0;
+    const e=xform(cam[0]+cam[3]*alen, cam[1]+cam[4]*alen,
+                  cam[2]+cam[5]*alen, s);
+    ctx.strokeStyle='#dd3'; ctx.beginPath();
+    ctx.moveTo(q[0],q[1]); ctx.lineTo(e[0],e[1]); ctx.stroke();
+    ctx.fillStyle='#e33'; ctx.fillRect(q[0]-3,q[1]-3,6,6);
+    ctx.fillStyle='#e88'; ctx.fillText(cam[6], q[0]+5, q[1]-5);
+  }}
 }}
-let drag=false, lx=0, ly=0;
-cv.onmousedown=e=>{{drag=true;lx=e.clientX;ly=e.clientY;}};
-onmouseup=()=>drag=false;
-onmousemove=e=>{{ if(!drag) return;
+let drag=false, moved=false, lx=0, ly=0;
+cv.onmousedown=e=>{{drag=true;moved=false;lx=e.clientX;ly=e.clientY;}};
+onmouseup=e=>{{
+  if (drag && !moved) {{          // click: nearest-patch readout
+    let best=1e30, bp=null;
+    for (const q of proj) {{
+      const d=(q[0]-e.clientX)**2+(q[1]-e.clientY)**2;
+      if (d<best) {{ best=d; bp=q[3]; }}
+    }}
+    if (bp && best < 400) {{
+      document.getElementById('pick').textContent =
+        `patch id ${{bp[10]}}  pos (${{bp[0]}}, ${{bp[1]}}, ${{bp[2]}})` +
+        `  normal (${{bp[7]}}, ${{bp[8]}}, ${{bp[9]}})\\n` +
+        `warped windows + SAD heat-map:  ` +
+        `python -m pais_mvs_tpu.cli -v <file.mvs> --patch-id ${{bp[10]}}`;
+    }}
+  }}
+  drag=false; }};
+onmousemove=e=>{{ if(!drag) return; moved=true;
   yaw+=(e.clientX-lx)*0.008; pitch+=(e.clientY-ly)*0.008;
   lx=e.clientX; ly=e.clientY; draw(); }};
 cv.onwheel=e=>{{ zoom*=e.deltaY<0?1.1:0.9; draw(); e.preventDefault(); }};
 onkeydown=e=>{{
   if(e.key==='c') {{ mode=1-mode; draw(); }}
+  if(e.key==='n') {{ showN=!showN; draw(); }}
+  if(e.key==='v') {{ showC=!showC; draw(); }}
   if(e.key==='o') {{
     if (anim) {{ clearInterval(anim); anim=null; frac=1; draw(); return; }}
     frac=0; anim=setInterval(()=>{{ frac=Math.min(1,frac+0.01);
@@ -190,12 +238,17 @@ draw();
 """
 
 
-def write_html_viewer(path: str, centers, colors,
+def write_html_viewer(path: str, centers, colors, normals=None, ids=None,
+                      cam_centers=None, cam_axes=None, cam_names=None,
                       max_points: int = 200_000) -> None:
     """Self-contained interactive point-cloud viewer (vanilla JS canvas, no
     network dependencies) — the offline replacement for the PCL window
-    (view/mvsviewer.cpp): orbit/zoom, color toggle, and an insertion-order
-    replay that mirrors the reference's -a animate mode."""
+    (view/mvsviewer.cpp): orbit/zoom, color toggle, insertion-order replay
+    (the reference's -a mode), normals toggle, red camera glyphs with
+    yellow optical axes (mvsviewer.cpp:144-256), and click-nearest-patch
+    readout that names the --patch-id diagnostics command (the offline
+    counterpart of pointPickEvent -> printPatchInformation,
+    mvsviewer.cpp:441-471)."""
     import json
     n = len(centers)
     if n < 2:
@@ -208,10 +261,30 @@ def write_html_viewer(path: str, centers, colors,
     for i in range(0, n, step):
         c = centers[i]
         col = np.clip(colors[i], 0, 255).astype(int)
-        rows.append([round(float(c[0]), 5), round(float(c[1]), 5),
-                     round(float(c[2]), 5), int(col[0]), int(col[1]),
-                     int(col[2]), round(i / max(n - 1, 1), 4)])
-    html = _HTML_TEMPLATE.format(n=len(rows), points=json.dumps(rows))
+        row = [round(float(c[0]), 5), round(float(c[1]), 5),
+               round(float(c[2]), 5), int(col[0]), int(col[1]),
+               int(col[2]), round(i / max(n - 1, 1), 4)]
+        if normals is not None:
+            nm = normals[i]
+            row += [round(float(nm[0]), 3), round(float(nm[1]), 3),
+                    round(float(nm[2]), 3)]
+        else:
+            row += [0.0, 0.0, 0.0]
+        row.append(int(ids[i]) if ids is not None else i)
+        rows.append(row)
+    cams = []
+    if cam_centers is not None:
+        for k in range(len(cam_centers)):
+            cc = cam_centers[k]
+            ax = (cam_axes[k] if cam_axes is not None else [0, 0, 1])
+            nm = (str(cam_names[k]) if cam_names is not None else str(k))
+            cams.append([round(float(cc[0]), 5), round(float(cc[1]), 5),
+                         round(float(cc[2]), 5), round(float(ax[0]), 4),
+                         round(float(ax[1]), 4), round(float(ax[2]), 4),
+                         nm])
+    html = _HTML_TEMPLATE.format(n=len(rows), ncam=len(cams),
+                                 points=json.dumps(rows),
+                                 cams=json.dumps(cams))
     with open(path, "w") as f:
         f.write(html)
 

@@ -780,24 +780,37 @@ class Reconstructor:
         import zipfile
         if not os.path.exists(path):
             return False
+        a = self.arena
+        # materialize EVERY array inside the try: a sidecar that opens but
+        # has a truncated/corrupt member must not leave the arena
+        # half-mutated (the fallback-to-.mvs contract)
         try:
             st = np.load(path)
-            _ = int(st["count"])
+            n = int(st["count"])
+            fields = {k: np.asarray(st[f"d_{k}"]) for k in a.data}
+            alive = np.asarray(st["alive"])
+            expanded = np.asarray(st["expanded"])
+            deleted_ids = [int(i) for i in st["deleted_ids"]]
+            neighbor_radius = float(st["neighbor_radius"])
+            for k, v in fields.items():
+                if v.shape[0] != n:
+                    raise ValueError(f"field {k} has {v.shape[0]} rows, "
+                                     f"expected {n}")
+            if alive.shape[0] != n or expanded.shape[0] != n:
+                raise ValueError("alive/expanded length mismatch")
         except (OSError, ValueError, KeyError, zipfile.BadZipFile) as e:
             if self.logger is not None:
                 self.logger.warning(f"ignoring corrupt checkpoint sidecar "
                                     f"{path}: {e}")
             return False
-        n = int(st["count"])
-        a = self.arena
         a._grow(max(n, 1))
         a.count = n
         for k in a.data:
-            a.data[k][:n] = st[f"d_{k}"]
-        a.alive[:n] = st["alive"]
-        a.expanded[:n] = st["expanded"]
-        a.deleted_ids = [int(i) for i in st["deleted_ids"]]
-        self.neighbor_radius = float(st["neighbor_radius"])
+            a.data[k][:n] = fields[k]
+        a.alive[:n] = alive
+        a.expanded[:n] = expanded
+        a.deleted_ids = deleted_ids
+        self.neighbor_radius = neighbor_radius
         self.grids = None
         self._log(f"resumed checkpoint {path}: {n} patches "
                   f"({int(a.alive[:n].sum())} live, "
@@ -831,8 +844,9 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
 
     Documented simplification vs the host path: candidates come from each
     patch's REFERENCE view's grid only (the host path walks every visible
-    view's grid), and the density grid is shared across cameras. Quality is
-    validated set-wise, not by insertion order.
+    view's grid). The density grid is PER CAMERA (rows cam*grid_h + row),
+    matching the reference's one-CellMap-per-camera. Quality is validated
+    set-wise, not by insertion order.
     """
     import jax
     import math as _math
@@ -852,15 +866,18 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
     slab = max(2, _math.ceil(gw_cells / S))
     grid_w = S * slab
 
-    # occupancy from the current live patches' reference-view cells
-    occ = np.zeros((grid_w, gh_cells), np.int32)
+    # occupancy from the current live patches' reference-view cells —
+    # PER CAMERA (rows cam*grid_h + cell_row; one CellMap per camera like
+    # the reference, mvs.cpp:74-87)
+    C_cams = a.num_cams
+    occ = np.zeros((grid_w, C_cams * gh_cells), np.int32)
     live0 = a.live_ids()
     refs0 = a.data["ref_cam"][live0]
     for pid, rc in zip(live0, refs0):
         ip = a.data["img_point"][pid, int(rc)]
         cx, cy = int(ip[0] / cell), int(ip[1] / cell)
         if 0 <= cx < grid_w and 0 <= cy < gh_cells:
-            occ[cx, cy] += 1
+            occ[cx, int(rc) * gh_cells + cy] += 1
     occ = jnp.asarray(occ)
 
     self._update_neighbor_radius()
@@ -905,20 +922,25 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
             break
         a.expanded[np.asarray(taken)] = True
 
-        out_pb, accepted, occ = sharded_expand_step(
+        # split (not fold_in) so a resumed/repeated expansion never
+        # replays the same PSO stream (ADVICE r1)
+        self.key, sub = jax.random.split(self.key)
+        out_pb, accepted, occ, spilled = sharded_expand_step(
             self.scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
             jnp.asarray(img_xy), jnp.asarray(priority), jnp.asarray(valid),
             jnp.asarray(rc_arr), jnp.asarray(pmask), occ,
-            self.neighbor_radius, jax.random.fold_in(self.key, rnd),
+            self.neighbor_radius, sub,
             mesh, slab, gh_cells, cap_per=cfg.max_cell_patch_num)
         acc = np.asarray(accepted)
         if acc.any():
             outs = jax.device_get(out_pb)
             self._append_to_arena(outs, acc, is_seed=False)
             total_inserted += int(acc.sum())
+        n_spill = int(np.asarray(spilled)[0])
         self._log(f"dist round {rnd}: {int(np.asarray(valid).sum())} parents"
                   f" -> {int(acc.sum())} inserted"
-                  f" (total {len(a.live_ids())})")
+                  f" (total {len(a.live_ids())})"
+                  + (f" [occupancy spill {n_spill}]" if n_spill else ""))
         # zero-accept rounds still make progress: the taken parents are
         # marked expanded, so the frontier drains and the top-of-loop
         # check terminates

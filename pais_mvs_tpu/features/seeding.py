@@ -100,12 +100,18 @@ def generate_seed_patches(params: Sequence[CameraParams],
         desc = np.zeros((k_tot, 128), dtype=np.float32)
         oct_np = np.asarray(kp.octave)
         for o, g in enumerate(gaussians):
-            sel = np.nonzero(oct_np == o)[0]
+            sel = np.nonzero(oct_np == o)[0][:k_per_octave]
             if not len(sel):
                 continue
-            d = dsc.describe_octave(g, kp.xy_oct[sel], kp.sigma_oct[sel],
-                                    kp.level[sel])
-            desc[sel] = np.asarray(d)
+            # pad to the static k_per_octave: a ragged batch per (image,
+            # octave) would trigger one XLA compile per novel count
+            # (~0.5 s each on the tunneled backend; ADVICE r1)
+            pad = k_per_octave - len(sel)
+            idx = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)]) \
+                if pad else sel
+            d = dsc.describe_octave(g, kp.xy_oct[idx], kp.sigma_oct[idx],
+                                    kp.level[idx])
+            desc[sel] = np.asarray(d)[:len(sel)]
         descs.append(jnp.asarray(desc))
         xys.append(kp.xy)
         masks.append(kp.mask)

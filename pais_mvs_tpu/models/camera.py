@@ -82,7 +82,9 @@ class PyramidSet:
     images: Any     # [C, Ha, Wa] f32, gray 0..255 (0 = background/pad)
     edges: Any      # [C, Ha, Wa] f32 in [0, 1]
     dims: Any       # [C, L, 2] int32 (h, w) per level; (0, 0) where absent
-    rgb: Any        # [C, Hmax, Wmax, 3] f32 level-0 color (for patch colors)
+    rgb: Any        # [C, Hmax, Wmax, 3] uint8 level-0 color (one gather per
+                    # accepted patch; f32 here would cost 4x the HBM — 1.15 GiB
+                    # at 4K x 8 cams)
     var: Any        # [C, Ha, Wa] f32 patch-window variance (-1 = OOB)
     yoff: Any       # [L+1] int32 atlas band row offsets (last = Ha)
 
@@ -101,6 +103,55 @@ class Scene:
         return self.rig.num_cameras
 
 
+def undistort_image(img: np.ndarray, focal, principal,
+                    r_dist: float) -> np.ndarray:
+    """Resample a radially-distorted image onto the pinhole model.
+
+    The reference's distortion (TMVS/mvs/camera.cpp:148-155): a point with
+    normalized coords n lands at pixel (1 + r*|n|^2) * f * n + pp. The
+    undistorted (pinhole) image therefore samples the input at exactly
+    that forward-mapped position — no iterative inversion needed.
+    """
+    h, w = img.shape[:2]
+    f = np.asarray(focal, float)
+    pp = np.asarray(principal, float)
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    nx = (xs - pp[0]) / f[0]
+    ny = (ys - pp[1]) / f[1]
+    s = 1.0 + r_dist * (nx * nx + ny * ny)
+    u = np.clip(s * f[0] * nx + pp[0], 0, w - 1.001)
+    v = np.clip(s * f[1] * ny + pp[1], 0, h - 1.001)
+    x0 = np.floor(u).astype(int)
+    y0 = np.floor(v).astype(int)
+    fx = (u - x0)[..., None] if img.ndim == 3 else u - x0
+    fy = (v - y0)[..., None] if img.ndim == 3 else v - y0
+    out = (img[y0, x0] * (1 - fx) * (1 - fy)
+           + img[y0, np.minimum(x0 + 1, w - 1)] * fx * (1 - fy)
+           + img[np.minimum(y0 + 1, h - 1), x0] * (1 - fx) * fy
+           + img[np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)]
+           * fx * fy)
+    return out.astype(img.dtype)
+
+
+def undistort_points(pts: np.ndarray, focal, principal,
+                     r_dist: float, iters: int = 4) -> np.ndarray:
+    """Map distorted-image pixel measurements to pinhole pixels (the
+    inverse of the forward model above), via Newton on the radial scalar:
+    rho_d = (1 + r t^2) t  for  t = |n_undistorted|."""
+    f = np.asarray(focal, float)
+    pp = np.asarray(principal, float)
+    nd = (np.asarray(pts, float) - pp) / f
+    rho = np.linalg.norm(nd, axis=-1)
+    t = rho.copy()
+    for _ in range(iters):
+        g = t + r_dist * t ** 3 - rho
+        dg = 1.0 + 3.0 * r_dist * t * t
+        t = t - g / np.where(np.abs(dg) < 1e-9, 1.0, dg)
+    scale = np.where(rho > 1e-12, t / np.where(rho > 0, rho, 1.0), 1.0)
+    return nd * scale[..., None] * f + pp
+
+
 def build_scene(params: Sequence[CameraParams],
                 rgb_images: Sequence[np.ndarray],
                 cfg: MvsConfig) -> Scene:
@@ -108,9 +159,25 @@ def build_scene(params: Sequence[CameraParams],
 
     ``rgb_images[i]`` is a uint8 [H, W, 3] (or gray [H, W]) array for camera
     ``i``. Per-camera derived quantities follow TMVS/mvs/camera.cpp:45-136.
+
+    When ``cfg.apply_distortion`` is set, images are UNDISTORTED here and
+    the engine runs pure pinhole everywhere (the TPU-first counterpart of
+    the reference's optional per-projection distortion, camera.cpp:148-155
+    — which no reference call site actually enables; measurements must be
+    undistorted by the caller via ``undistort_points``).
     """
     C = len(params)
     assert C == len(rgb_images)
+    if cfg.apply_distortion:
+        rgb_images = [
+            undistort_image(img, p.focal,
+                            (np.array([img.shape[1] >> 1,
+                                       img.shape[0] >> 1], float)
+                             if p.principal[0] < 0 and p.principal[1] < 0
+                             else p.principal),
+                            float(p.radial_distortion))
+            if abs(float(p.radial_distortion)) > 1e-12 else img
+            for p, img in zip(params, rgb_images)]
     R = np.zeros((C, 3, 3)); T = np.zeros((C, 3)); centers = np.zeros((C, 3))
     focal = np.zeros((C, 2)); principal = np.zeros((C, 2))
     dist = np.zeros(C); KR = np.zeros((C, 3, 3)); KT = np.zeros((C, 3))
@@ -120,7 +187,7 @@ def build_scene(params: Sequence[CameraParams],
     levels_all, edges_all, dims_all, vars_all = [], [], [], []
     hmax = max(img.shape[0] for img in rgb_images)
     wmax = max(img.shape[1] for img in rgb_images)
-    rgb_packed = np.zeros((C, hmax, wmax, 3), dtype=np.float32)
+    rgb_packed = np.zeros((C, hmax, wmax, 3), dtype=np.uint8)
 
     for i, (p, img) in enumerate(zip(params, rgb_images)):
         h, w = img.shape[:2]
@@ -132,9 +199,9 @@ def build_scene(params: Sequence[CameraParams],
         vars_all.append([pyr.window_variance_map(g, cfg.patch_radius)
                          for g in lv])
         if img.ndim == 3:
-            rgb_packed[i, :h, :w] = img.astype(np.float32)
+            rgb_packed[i, :h, :w] = img
         else:
-            rgb_packed[i, :h, :w] = img[..., None].astype(np.float32)
+            rgb_packed[i, :h, :w] = img[..., None]
 
         Ri = _np_quat_to_rotation(np.asarray(p.quaternion, dtype=np.float64))
         ci = np.asarray(p.center, dtype=np.float64)

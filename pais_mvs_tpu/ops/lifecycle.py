@@ -229,7 +229,7 @@ def set_image_points_and_color(scene: Scene, center, ref_cam):
     Hp, Wp = pyrs.rgb.shape[1:3]
     xi = jnp.clip(jnp.round(ref_pt[:, 0]).astype(jnp.int32), 0, Wp - 1)
     yi = jnp.clip(jnp.round(ref_pt[:, 1]).astype(jnp.int32), 0, Hp - 1)
-    color = pyrs.rgb[ref_cam, yi, xi]                         # [B, 3]
+    color = pyrs.rgb[ref_cam, yi, xi].astype(jnp.float32)     # [B, 3]
     return ipts, color
 
 

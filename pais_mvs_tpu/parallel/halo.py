@@ -232,12 +232,16 @@ def sharded_expand_step(scene, cfg, centers, normals, img_xy, priority,
 
     Global shapes (patch-axis sharded unless noted): centers/normals [N,3],
     img_xy [N,2] (reference-view pixels), priority/valid/ref_cam [N],
-    parent_cam_mask [N,C], occupancy [S*slab_cols, grid_h] int32 (sharded
-    on axis 0); neighbor_radius f32 scalar and key replicated.
+    parent_cam_mask [N,C], occupancy [S*slab_cols, C*grid_h] int32 (sharded
+    on axis 0; rows are PER-CAMERA, cam*grid_h + cell_row — one CellMap per
+    camera like the reference, mvs.cpp:74-87); neighbor_radius f32 scalar
+    and key replicated.
 
     Returns (refined PatchBatch [12N rows, sharded], accepted [12N],
-    new_occupancy) — accepted rows are refined patches that passed both the
-    density dedupe and runtime filtering.
+    new_occupancy, spilled [1] int) — accepted rows are refined patches
+    that passed both the density dedupe and runtime filtering; ``spilled``
+    counts accepted patches whose refined cell lies beyond the +-1 ring
+    (their occupancy increments are dropped; ADVICE r1).
     """
     from pais_mvs_tpu.models import patch as patch_mod
 
@@ -266,16 +270,23 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap_per,
         ncx, ncy, parent, ok = expansion_candidates_local(
             img_xy[:, 0], img_xy[:, 1], priority, valid, grid_w, cell_size)
         ok &= ncy < grid_h
+        # occupancy is PER CAMERA ([slab_cols, C*grid_h] per shard): the
+        # combined row index cam*grid_h + row keeps two patches whose
+        # DIFFERENT reference cameras share a (cx, cy) from colliding in
+        # one density counter (the reference keeps one CellMap per camera,
+        # mvs.cpp:74-87)
+        comb = ref_cam[parent] * grid_h + ncy
         payload = jnp.concatenate([
             centers[parent], normals[parent], priority[parent][:, None],
-            ncy[:, None].astype(centers.dtype),
+            comb[:, None].astype(centers.dtype),
             ref_cam[parent][:, None].astype(centers.dtype),
             parent_cam_mask[parent].astype(centers.dtype)], axis=-1)
         routed = halo_route(payload, ncx, ok, slab_cols,
                             order=priority[parent])
-        accept, row = _dedupe_against_occupancy(
-            routed, occ, k, slab_cols, grid_h, cap_per,
+        accept, comb_row = _dedupe_against_occupancy(
+            routed, occ, k, slab_cols, C * grid_h, cap_per,
             pri_col=6, row_col=7)
+        row = comb_row % grid_h
 
         # candidate center: reference-view cell-center pixel ray meeting
         # the parent plane (MVS::getExpansionPatchCenter, mvs.cpp:809-836)
@@ -318,21 +329,30 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap_per,
         # recomputes ref_cam/img_point and the patch can shift a cell):
         # increments halo-route to the owning shard like the candidates
         # did. Cells more than one slab away (a ref-camera switch across
-        # the grid — rare) are dropped by the ring exchange; that bounded
-        # undercount only makes the density cap slightly more permissive.
+        # the grid — rare) are dropped by the ring exchange; the psum'd
+        # ``spilled`` count makes that drop observable instead of silent
+        # (the bounded undercount only makes the density cap slightly
+        # more permissive).
         rb = res.batch
         ref_ip = jnp.take_along_axis(
             rb.img_point, rb.ref_cam[:, None, None].repeat(2, -1),
             axis=1)[:, 0]
-        fcol = (ref_ip[:, 0] / cell_size).astype(jnp.int32)
-        frow = jnp.clip((ref_ip[:, 1] / cell_size).astype(jnp.int32),
-                        0, grid_h - 1)
-        inc = halo_route(frow[:, None].astype(jnp.float32),
-                         jnp.clip(fcol, 0, grid_w - 1), accepted, slab_cols)
+        fcol = jnp.clip((ref_ip[:, 0] / cell_size).astype(jnp.int32),
+                        0, grid_w - 1)
+        fcomb = jnp.clip(rb.ref_cam * grid_h
+                         + (ref_ip[:, 1] / cell_size).astype(jnp.int32),
+                         0, C * grid_h - 1)
+        n_shards = jax.lax.axis_size(PATCH_AXIS)
+        owner = jnp.clip(fcol // slab_cols, 0, n_shards - 1)
+        spilled = jax.lax.psum(
+            jnp.sum((jnp.abs(owner - k) > 1) & accepted), PATCH_AXIS)
+        inc = halo_route(fcomb[:, None].astype(jnp.float32),
+                         fcol, accepted, slab_cols)
         ilcol = jnp.clip(inc.col - k * slab_cols, 0, slab_cols - 1)
-        irow = jnp.clip(inc.payload[:, 0].astype(jnp.int32), 0, grid_h - 1)
+        irow = jnp.clip(inc.payload[:, 0].astype(jnp.int32),
+                        0, C * grid_h - 1)
         occ2 = occ.at[ilcol, irow].add(inc.valid.astype(occ.dtype))
-        return res.batch, accepted, occ2
+        return res.batch, accepted, occ2, spilled[None]
 
     spec_pb = jax.tree.map(lambda _: P(PATCH_AXIS),
                            patch_mod.empty_batch(1, C))
@@ -345,7 +365,7 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap_per,
                       P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
                       P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
                       P(), P()),
-            out_specs=(spec_pb, P(PATCH_AXIS), P(PATCH_AXIS)),
+            out_specs=(spec_pb, P(PATCH_AXIS), P(PATCH_AXIS), P()),
             check_vma=False)
         return f(scene, *args)
 

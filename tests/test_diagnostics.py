@@ -74,15 +74,27 @@ def test_html_viewer(tmp_path):
     n = 50
     centers = np.random.default_rng(0).normal(size=(n, 3))
     colors = np.full((n, 3), 120.0)
+    normals = np.tile([0.0, 0.0, 1.0], (n, 1))
+    cam_c = np.array([[0.0, 0.0, -3.0], [1.0, 0.0, -3.0]])
+    cam_ax = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
     out = tmp_path / "view.html"
-    write_html_viewer(str(out), centers, colors)
+    write_html_viewer(str(out), centers, colors, normals=normals,
+                      ids=np.arange(n), cam_centers=cam_c, cam_axes=cam_ax,
+                      cam_names=["a.jpg", "b.jpg"])
     html = out.read_text()
     m = re.search(r"const P = (\[\[.*?\]\]);", html, re.S)
     pts = json.loads(m.group(1))
-    assert len(pts) == n and all(len(p) == 7 for p in pts)
+    # [x,y,z, r,g,b, order, nx,ny,nz, id]
+    assert len(pts) == n and all(len(p) == 11 for p in pts)
     orders = [p[6] for p in pts]
     assert orders == sorted(orders)
+    assert [p[10] for p in pts] == list(range(n))
+    m = re.search(r"const CAMS = (\[.*?\]);", html, re.S)
+    cams = json.loads(m.group(1))
+    assert len(cams) == 2 and cams[0][6] == "a.jpg"
     assert "onmousedown" in html and "onwheel" in html
+    for key in ("'n'", "'v'", "patch id"):
+        assert key in html, key
 
 
 def test_logmanager(tmp_path):

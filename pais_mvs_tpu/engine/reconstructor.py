@@ -48,7 +48,9 @@ class Reconstructor:
         # library is unavailable
         self.use_native = (native_rt.available() if use_native is None
                            else (use_native and native_rt.available()))
+        _t0 = time.time()
         self.scene: Scene = build_scene(params, images, cfg)
+        _scene_s = time.time() - _t0
         self.widths = [img.shape[1] for img in images]
         self.heights = [img.shape[0] for img in images]
         C = self.scene.num_cameras
@@ -63,7 +65,7 @@ class Reconstructor:
         self.np_R = np.asarray(rig.R, dtype=np.float64)
         self.np_focal = np.asarray(rig.focal, dtype=np.float64)
         self.np_principal = np.asarray(rig.principal, dtype=np.float64)
-        self.stats: Dict[str, float] = {}
+        self.stats: Dict[str, float] = {"scene_build_s": round(_scene_s, 2)}
         # data-parallel refine over all local devices: pure patch-axis
         # sharding under shard_map (the reference has nothing comparable —
         # its outer loop is strictly sequential, SURVEY §2 C11)

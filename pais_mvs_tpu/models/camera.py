@@ -230,8 +230,14 @@ def build_scene(params: Sequence[CameraParams],
         KT=f32(KT), optical=f32(optical), quaternion=f32(quat),
         max_lod=jnp.asarray(max_lods, dtype=jnp.int32),
     )
-    pyrs = PyramidSet(images=jnp.asarray(images), edges=jnp.asarray(edges),
+    # bf16 atlases: 0..255 level-0 intensities are bf16-exact (background
+    # test preserved), deeper levels/edges/variance round at ~0.4% — far
+    # below the photoconsistency contrast. Halves both the host->device
+    # upload (~45 MiB/s through the tunnel) and the HBM footprint (the 4K
+    # x 8-cam budget drops 5.5 -> 2.75 GiB).
+    pyrs = PyramidSet(images=jnp.asarray(images, jnp.bfloat16),
+                      edges=jnp.asarray(edges, jnp.bfloat16),
                       dims=jnp.asarray(dims), rgb=jnp.asarray(rgb_packed),
-                      var=jnp.asarray(var_maps),
+                      var=jnp.asarray(var_maps, jnp.bfloat16),
                       yoff=jnp.asarray(yoff, dtype=jnp.int32))
     return Scene(rig=rig, pyramids=pyrs)

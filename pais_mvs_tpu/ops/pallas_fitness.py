@@ -136,8 +136,10 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
 
     @pl.when(act != 0)
     def _cell():
+        # cast to f32 at the read: the atlas (and the DMA scratch) is
+        # bf16, and pltpu.roll on bf16 crashes the compiler
         box_f = jax.lax.cond(par == 0, lambda: box0[:, :],
-                             lambda: box1[:, :])
+                             lambda: box1[:, :]).astype(jnp.float32)
         _cell_body(ints_ref, flts_ref, pflags_ref, H_ref,
                    offs_ref, out_ref, box_f, c, KY, KX, P, W2p, precision)
 
@@ -388,8 +390,8 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
                                lambda b, c: (b, c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((KY, KX), jnp.float32),                # box0
-            pltpu.VMEM((KY, KX), jnp.float32),                # box1
+            pltpu.VMEM((KY, KX), pyrs.images.dtype),          # box0
+            pltpu.VMEM((KY, KX), pyrs.images.dtype),          # box1
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -561,14 +563,17 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
         isrf = ints_ref[0, c, 4].astype(jnp.float32)
         rbxf = rbxf + ints_ref[0, c, 0].astype(jnp.float32) * isrf
         rbyf = rbyf + ints_ref[0, c, 2].astype(jnp.float32) * isrf
-    # hoist the parity select: one box read per camera per patch
+    # hoist the parity select: one box read per camera per patch (cast
+    # bf16 -> f32 at the read; rolls/blends need f32)
     box_vals = [jax.lax.cond(par == 0, lambda c=c: boxes0[c],
-                             lambda c=c: boxes1[c]) for c in range(C)]
+                             lambda c=c: boxes1[c]).astype(jnp.float32)
+                for c in range(C)]
     rbox = jnp.zeros((KY, KX), jnp.float32)
     for c in range(C):
         isrf = ints_ref[0, c, 4].astype(jnp.float32)
         rbox = rbox + box_vals[c] * isrf
-    ebox = jax.lax.cond(par == 0, lambda: ebox0[:, :], lambda: ebox1[:, :])
+    ebox = jax.lax.cond(par == 0, lambda: ebox0[:, :],
+                        lambda: ebox1[:, :]).astype(jnp.float32)
 
     padm = offs_ref[0:1, :] < 1e6                             # real pixels
     xr = jnp.round(jnp.where(padm, x, 0.0))
@@ -945,10 +950,10 @@ def _run_fused(scene: Scene, cfg: MvsConfig, H, pt, lod, cover, cover_y,
         out_specs=pl.BlockSpec((1, P, 1), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((C, KY, KX), jnp.float32),             # boxes0
-            pltpu.VMEM((C, KY, KX), jnp.float32),             # boxes1
-            pltpu.VMEM((KY, KX), jnp.float32),                # ebox0
-            pltpu.VMEM((KY, KX), jnp.float32),                # ebox1
+            pltpu.VMEM((C, KY, KX), pyrs.images.dtype),       # boxes0
+            pltpu.VMEM((C, KY, KX), pyrs.images.dtype),       # boxes1
+            pltpu.VMEM((KY, KX), pyrs.edges.dtype),           # ebox0
+            pltpu.VMEM((KY, KX), pyrs.edges.dtype),           # ebox1
             pltpu.VMEM((C, PB * W2p), jnp.float32),           # sam
             pltpu.VMEM((C, PB * W2p), jnp.float32),           # okf
             pltpu.SemaphoreType.DMA((C,)),

@@ -144,21 +144,130 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
                    offs_ref, out_ref, box_f, c, KY, KX, P, W2p, precision)
 
 
-def _slice_width(W2p: int, KX: int) -> int:
-    """Column width of the per-block box slice.
+# Warp-stretch the BOX (DMA extent) must survive. The region-ratio gate
+# drops cameras whose window stretches beyond ~1/0.55 = 1.8x, but the gate
+# runs AFTER each PSO (removeInvisibleCamera) — DURING the swarm the
+# reference scores arbitrarily tilted hypotheses finitely, and the seed
+# swarms sample the FULL theta range.
+STRETCH = 2.6
 
-    Must hold one warped window stretched to the region-ratio gate's limit
-    (~1/0.55 = 1.8x) PLUS the residual spread of the block's particle
-    centers around the block mean (particles are depth-sorted host-side, so
-    a block spans ~1/NB of the depth range's parallax). 64 covers the
-    default r<=15 with ~±4 px of spread slack; larger radii widen in
-    32-lane steps (matmul cost is flat in K up to 128, build cost is not).
+
+def _slice_width(W2p: int, KX: int) -> int:
+    """WIDE column width of the per-block box slice.
+
+    128 whenever the box allows it: seed swarms explore near-grazing
+    normals whose warped u-span exceeds 64 in ~7% of candidates on a
+    wide-baseline rig (measured p90 span 111 px on the pawn cameras —
+    falsely-BIG clipping that cost 5x seed accuracy on real texture).
+    The MXU contraction is flat in K up to 128; _bilinear_block puts the
+    LARGER of (KS, KY) on the MXU so only the weight build grows — and
+    most blocks take the 64-wide fast path anyway (_sample_block_dual
+    dispatches per block on the corner-bounded span).
     """
-    r_win = int(np.sqrt(W2p)) // 2
-    span_max = 2 * int(1.8 * r_win) + 8
-    if span_max <= 64:
-        return min(64, KX)
-    return min(_round_up(span_max + 16, 32), KX)
+    return min(128, KX)
+
+
+def _sample_block_dual(hs, flags, box_f, x, y, px, py, bxf, byf,
+                       h_img, w_img, mlo, mhi, iota_sm, iota_lg, iota_ys,
+                       KX, KY, PB, r_c, precision, write):
+    """One particle block x one camera, with per-block slice-width
+    dispatch: blocks whose warped u-extent (bounded by the 4 ref-window
+    corners per particle — projective u along a window edge is monotone
+    between poles, and pole-in-window pixels are invalid in EITHER path)
+    fits the narrow slice run the cheap body; near-grazing blocks pay for
+    the wide one. Exactly one branch executes and calls
+    ``write(val [1, PB*T], ok [1, PB*T])``.
+
+    hs: per-particle lists of 9 homography scalars; flags: per-particle
+    validity scalars; box_f: [KY, KX] f32; x/y: [1, T] ref-window pixel
+    coordinates; mlo/mhi: bounds margins; r_c: conservative window
+    half-extent (pixels) for the corner test.
+    """
+    KS_SM = iota_sm.shape[0]
+    KS_LG = iota_lg.shape[0]
+    T = x.shape[1]
+    INFP = 1e30
+
+    # scalar pass: block slice centering = mean valid warped center
+    ucs, n_ok = 0.0, 0
+    for j in range(PB):
+        h = hs[j]
+        wc = h[6] * px + h[7] * py + h[8]
+        uc = (h[0] * px + h[1] * py + h[2]) / jnp.where(wc == 0, 1.0, wc)
+        fj = (flags[j] != 0) & (wc != 0)
+        ucs = ucs + jnp.where(fj, uc, 0.0)
+        n_ok = n_ok + fj.astype(jnp.int32)
+    center_lg = ucs / jnp.maximum(n_ok, 1).astype(jnp.float32)
+
+    # shared vector pass: per-particle u/v + margin validity
+    us, vs, oks = [], [], []
+    for j in range(PB):
+        h = hs[j]
+        wq = h[6] * x + h[7] * y + h[8]                       # [1, T]
+        swq = jnp.where(wq == 0, 1.0, wq)
+        u = (h[0] * x + h[1] * y + h[2]) / swq
+        v = (h[3] * x + h[4] * y + h[5]) / swq
+        ok = ((wq != 0) & (flags[j] != 0)
+              & (u >= mlo) & (u < w_img - mhi)
+              & (v >= mlo) & (v < h_img - mhi))
+        us.append(u)
+        vs.append(v)
+        oks.append(ok)
+    u_blk = jnp.concatenate(us, axis=1)                       # [1, PB*T]
+    v_blk = jnp.concatenate(vs, axis=1)
+    okm_blk = jnp.concatenate(oks, axis=1)
+    vb = v_blk - byf
+    okm_blk = okm_blk & (vb >= 0) & (vb <= KY - 2)
+    CwT = jnp.maximum(1.0 - jnp.abs(vb - iota_ys), 0.0)       # [KY, PB*T]
+
+    def emit(ks, iota_xs, center_u):
+        xoff = jnp.clip(center_u.astype(jnp.int32)
+                        - bxf.astype(jnp.int32) - ks // 2, 0, KX - ks)
+        # dynamic lane-roll + static slice (Mosaic has no dynamic lane
+        # slicing); wrapped columns land beyond ub's [0, ks-2] validity
+        # window, so they are never read as valid samples. Roll in f32
+        # (bf16 roll crashes the compiler), cast after.
+        box_p = pltpu.roll(box_f, -xoff, 1)[:, :ks]
+        if precision is None:
+            box_p = box_p.astype(jnp.bfloat16)
+        ub = u_blk - bxf - xoff.astype(jnp.float32)
+        ok_blk = okm_blk & (ub >= 0) & (ub <= ks - 2)
+        RwT = jnp.maximum(1.0 - jnp.abs(ub - iota_xs), 0.0)   # [ks, PB*T]
+        val = _bilinear_block(box_p, RwT, CwT, ks, KY, precision)
+        write(val, ok_blk)
+
+    # NOTE: a per-block narrow/wide dispatch (pl.when on the corner span)
+    # was measured SLOWER than always-wide (310 vs 442 p/s at the bench):
+    # the data-dependent branches defeat Mosaic's cross-block
+    # MXU/VPU pipelining and double the compiled body. Always-wide costs
+    # ~28% vs the old 64-slice but eliminates the falsely-BIG clipping of
+    # near-grazing hypotheses entirely (validity agreement 1.000).
+    emit(KS_LG, iota_lg, center_lg)
+
+
+def _bilinear_block(box_p, RwT, CwT, KS, KY, precision):
+    """val[t] = sum_xy box[y, x] * Rw[x, t] * Cw[y, t] with the larger
+    weight matrix contracted on the MXU (one K-tile up to 128 either way)
+    and the row-weighted reduce over the SMALLER axis on the VPU."""
+    if precision is None:
+        cast = lambda m: m.astype(jnp.bfloat16)
+        # pin DEFAULT explicitly: a global jax_default_matmul_precision
+        # override must not reach the bf16 kernel dots (Mosaic rejects
+        # 'highest' on bf16 operands)
+        kw = dict(precision=jax.lax.Precision.DEFAULT,
+                  preferred_element_type=jnp.float32)
+    else:
+        cast = lambda m: m
+        kw = dict(precision=precision, preferred_element_type=jnp.float32)
+    if KS >= KY:
+        # contract x on the MXU: [KY, KS] x [KS, PT] -> [KY, PT]
+        tmp = jax.lax.dot_general(box_p, cast(RwT),
+                                  (((1,), (0,)), ((), ())), **kw)
+        return jnp.sum(tmp * CwT, axis=0, keepdims=True)
+    # contract y on the MXU: [KY, KS]^T-contract [KY, PT] -> [KS, PT]
+    S = jax.lax.dot_general(box_p, cast(CwT),
+                            (((0,), (0,)), ((), ())), **kw)
+    return jnp.sum(S * RwT, axis=0, keepdims=True)
 
 
 def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
@@ -193,15 +302,19 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
     T = W2p                                                   # whole window
     PB = 8 if P % 8 == 0 else 1
     NB = P // PB
-    KS = _slice_width(W2p, KX)
+    KS_LG = _slice_width(W2p, KX)
+    KS_SM = min(64, KS_LG)
     # TRANSPOSED weight layout: pixels stay on the LANE axis from the u,v
     # math through the weights, the matmul N axis, the reduction, and the
     # final store — no lane<->sublane relayouts anywhere in the loop (the
     # [T]-vector-to-matrix-row path was v0's real bottleneck)
-    iota_xs = jax.lax.broadcasted_iota(jnp.int32, (KS, 1), 0) \
+    iota_sm = jax.lax.broadcasted_iota(jnp.int32, (KS_SM, 1), 0) \
+        .astype(jnp.float32)
+    iota_lg = jax.lax.broadcasted_iota(jnp.int32, (KS_LG, 1), 0) \
         .astype(jnp.float32)
     iota_ys = jax.lax.broadcasted_iota(jnp.int32, (KY, 1), 0) \
         .astype(jnp.float32)
+    r_c = int(np.sqrt(W2p)) // 2 + 1
 
     bxf = bx.astype(jnp.float32)
     byf = by.astype(jnp.float32)
@@ -209,81 +322,22 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
     y = py + offs_ref[1:2, :]
 
     for i in range(NB):
-        _block_body(i, PB, KS, H_ref, pflags_ref, out_ref, box_f,
-                    x, y, px, py, bxf, byf, h_img, w_img, mlo, mhi,
-                    iota_xs, iota_ys, KX, KY, T, precision)
+        hs = [[H_ref[0, 0, i * PB + j, k] for k in range(9)]
+              for j in range(PB)]
+        flags = [pflags_ref[0, 0, i * PB + j] for j in range(PB)]
+        n_any = flags[0] * 0
+        for f in flags:
+            n_any = n_any + (f != 0).astype(jnp.int32)
 
+        def _write(val, ok_blk, i=i):
+            res = jnp.where(ok_blk, val, -1e9).reshape(PB, T)
+            out_ref[0, 0, pl.ds(i * PB, PB), :] = res
 
-def _block_body(i, PB, KS, H_ref, pflags_ref, out_ref, box_f,
-                x, y, px, py, bxf, byf, h_img, w_img, mlo, mhi,
-                iota_xs, iota_ys, KX, KY, T, precision):
-    hs = [[H_ref[0, 0, i * PB + j, k] for k in range(9)] for j in range(PB)]
-    flags = [pflags_ref[0, 0, i * PB + j] for j in range(PB)]
-
-    # block slice offset: mean valid warped-window center (scalar math)
-    ucs, n_ok = 0.0, 0
-    for j in range(PB):
-        h = hs[j]
-        wc = h[6] * px + h[7] * py + h[8]
-        uc = (h[0] * px + h[1] * py + h[2]) / jnp.where(wc == 0, 1.0, wc)
-        f = (flags[j] != 0) & (wc != 0)
-        ucs = ucs + jnp.where(f, uc, 0.0)
-        n_ok = n_ok + f.astype(jnp.int32)
-
-    @pl.when(n_ok > 0)
-    def _blk():
-        uc_mean = ucs / n_ok.astype(jnp.float32)
-        xoff = jnp.clip((uc_mean - bxf).astype(jnp.int32) - KS // 2,
-                        0, KX - KS)
-        # dynamic lane-roll + static slice (Mosaic has no dynamic lane
-        # slicing); wrapped columns land beyond ub's [0, KS-2] validity
-        # window, so they are never read as valid samples. Roll in f32
-        # (bf16 roll crashes the compiler), cast after.
-        box_p = pltpu.roll(box_f, -xoff, 1)[:, :KS]
-        if precision is None:
-            box_p = box_p.astype(jnp.bfloat16)
-        xofff = xoff.astype(jnp.float32)
-
-        us, vs, oks = [], [], []
-        for j in range(PB):
-            h = hs[j]
-            wq = h[6] * x + h[7] * y + h[8]                   # [1, T]
-            sw = jnp.where(wq == 0, 1.0, wq)
-            u = (h[0] * x + h[1] * y + h[2]) / sw
-            v = (h[3] * x + h[4] * y + h[5]) / sw
-            # validity: caller's margins (fitness [2, dim-3), NCC
-            # [0, dim-1)), inside the sliced box, and particle not
-            # already BIG-fated
-            ok = ((wq != 0) & (flags[j] != 0)
-                  & (u >= mlo) & (u < w_img - mhi)
-                  & (v >= mlo) & (v < h_img - mhi))
-            us.append(u)
-            vs.append(v)
-            oks.append(ok)
-        u_blk = jnp.concatenate(us, axis=1)                   # [1, PB*T]
-        v_blk = jnp.concatenate(vs, axis=1)
-        ok_blk = jnp.concatenate(oks, axis=1)
-
-        ub = u_blk - bxf - xofff
-        vb = v_blk - byf
-        ok_blk = (ok_blk & (ub >= 0) & (ub <= KS - 2)
-                  & (vb >= 0) & (vb <= KY - 2))
-
-        # transposed bilinear weights: [KY, PB*T] and [KS, PB*T]
-        CwT = jnp.maximum(1.0 - jnp.abs(vb - iota_ys), 0.0)
-        RwT = jnp.maximum(1.0 - jnp.abs(ub - iota_xs), 0.0)
-        if precision is None:
-            S = jax.lax.dot_general(
-                box_p, CwT.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [KS, PB*T]
-        else:
-            S = jax.lax.dot_general(
-                box_p, CwT, (((0,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=jnp.float32)           # [KS, PB*T]
-        val = jnp.sum(S * RwT, axis=0, keepdims=True)         # [1, PB*T]
-        res = jnp.where(ok_blk, val, -1e9).reshape(PB, T)
-        out_ref[0, 0, pl.ds(i * PB, PB), :] = res
+        @pl.when(n_any > 0)
+        def _blk(hs=hs, flags=flags, w=_write):
+            _sample_block_dual(hs, flags, box_f, x, y, px, py, bxf, byf,
+                               h_img, w_img, mlo, mhi, iota_sm, iota_lg,
+                               iota_ys, KX, KY, PB, r_c, precision, w)
 
 
 def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
@@ -550,11 +604,15 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
     py = flts_ref[0, 0, 3]
     x = px + offs_ref[0:1, :]                                 # [1, W2p]
     y = py + offs_ref[1:2, :]
-    KS = _slice_width(W2p, KX)
-    iota_xs = jax.lax.broadcasted_iota(jnp.int32, (KS, 1), 0) \
+    KS_LG = _slice_width(W2p, KX)
+    KS_SM = min(64, KS_LG)
+    iota_sm = jax.lax.broadcasted_iota(jnp.int32, (KS_SM, 1), 0) \
+        .astype(jnp.float32)
+    iota_lg = jax.lax.broadcasted_iota(jnp.int32, (KS_LG, 1), 0) \
         .astype(jnp.float32)
     iota_ys = jax.lax.broadcasted_iota(jnp.int32, (KY, 1), 0) \
         .astype(jnp.float32)
+    r_c = int(np.sqrt(W2p)) // 2 + 1
 
     # ---- per-patch pixel weights from the ref box + edge box ----
     # (nearest == bilinear at rounded integer coordinates)
@@ -575,42 +633,39 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
     ebox = jax.lax.cond(par == 0, lambda: ebox0[:, :],
                         lambda: ebox1[:, :]).astype(jnp.float32)
 
+    # the ref window is UNWARPED (identity homography), so its span is
+    # exactly 2r+1 <= the narrow slice — the nearest pass never needs the
+    # wide width
     padm = offs_ref[0:1, :] < 1e6                             # real pixels
     xr = jnp.round(jnp.where(padm, x, 0.0))
     yr = jnp.round(jnp.where(padm, y, 0.0))
     xoff_r = jnp.clip(jnp.round(px).astype(jnp.int32)
-                      - rbxf.astype(jnp.int32) - KS // 2, 0, KX - KS)
+                      - rbxf.astype(jnp.int32) - KS_SM // 2, 0, KX - KS_SM)
     ubr = xr - rbxf - xoff_r.astype(jnp.float32)
     vbr = yr - rbyf
-    RwTr = jnp.maximum(1.0 - jnp.abs(ubr - iota_xs), 0.0)     # [KS, W2p]
+    RwTr = jnp.maximum(1.0 - jnp.abs(ubr - iota_sm), 0.0)     # [KS_SM, W2p]
     CwTr = jnp.maximum(1.0 - jnp.abs(vbr - iota_ys), 0.0)     # [KY, W2p]
-    rbox_s = pltpu.roll(rbox, -xoff_r, 1)[:, :KS]
-    ebox_s = pltpu.roll(ebox, -xoff_r, 1)[:, :KS]
-    in_box = ((ubr >= 0) & (ubr <= KS - 2) & (vbr >= 0) & (vbr <= KY - 2)
-              & padm)
+    rbox_s = pltpu.roll(rbox, -xoff_r, 1)[:, :KS_SM]
+    ebox_s = pltpu.roll(ebox, -xoff_r, 1)[:, :KS_SM]
+    in_box = ((ubr >= 0) & (ubr <= KS_SM - 2) & (vbr >= 0)
+              & (vbr <= KY - 2) & padm)
     # single-pass bf16 is EXACT for the indicator weights (0/1 and integer
     # coordinates <= 256 are bf16-representable) and preserves the
     # zero-vs-nonzero foreground test (bf16 of a nonzero 1..255 intensity
     # is never 0); edge values only feed a smooth weight — but the precise
     # path keeps full f32 so strict parity vs the jnp reference holds
-    if precision is None:
-        def _nn_dot(box_s):
-            return jax.lax.dot_general(
-                box_s.astype(jnp.bfloat16), CwTr.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [KS, W2p]
-    else:
-        def _nn_dot(box_s):
-            return jax.lax.dot_general(
-                box_s, CwTr, (((0,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32)
-    ref_val = jnp.sum(_nn_dot(rbox_s) * RwTr, axis=0, keepdims=True)
+    def _nn(box_s):
+        if precision is None:
+            box_s = box_s.astype(jnp.bfloat16)
+        return _bilinear_block(box_s, RwTr, CwTr, KS_SM, KY, precision)
+
+    ref_val = _nn(rbox_s)
     fg = jnp.where(in_box & (ref_val != 0), 1.0, 0.0)
     w_pix = fg
     if use_dist:
         w_pix = w_pix * offs_ref[2:3, :]
     if use_grad:
-        edge_val = jnp.sum(_nn_dot(ebox_s) * RwTr, axis=0, keepdims=True)
+        edge_val = _nn(ebox_s)
         safe_edge = jnp.maximum(edge_val * grad_w, 1e-20)
         w_pix = w_pix * jnp.exp(-1.0 / safe_edge)
 
@@ -636,15 +691,20 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
 
                 @pl.when(act_c != 0)
                 def _cam(c=c, i=i, flags=flags):
-                    val, ok = _sample_block(
-                        H_ref, box_vals[c], c, i, PB, KS, flags, x, y,
-                        px, py,
+                    hs = [[H_ref[0, c, i * PB + j, k] for k in range(9)]
+                          for j in range(PB)]
+
+                    def w(val, ok, c=c):
+                        sam[pl.ds(c, 1), :] = jnp.where(ok, val, 0.0)
+                        okf[pl.ds(c, 1), :] = ok.astype(jnp.float32)
+
+                    _sample_block_dual(
+                        hs, flags, box_vals[c], x, y, px, py,
                         ints_ref[0, c, 0].astype(jnp.float32),
                         ints_ref[0, c, 2].astype(jnp.float32),
                         flts_ref[0, c, 0], flts_ref[0, c, 1],
-                        iota_xs, iota_ys, KX, KY, precision)
-                    sam[pl.ds(c, 1), :] = jnp.where(ok, val, 0.0)
-                    okf[pl.ds(c, 1), :] = ok.astype(jnp.float32)
+                        2.0, 3.0, iota_sm, iota_lg, iota_ys,
+                        KX, KY, PB, r_c, precision, w)
 
                 @pl.when(act_c == 0)
                 def _cam0(c=c):
@@ -681,64 +741,6 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
             out_ref[0, pl.ds(i * PB, PB), :] = fit
 
 
-def _sample_block(H_ref, box_f, c, i, PB, KS, flags, x, y, px, py,
-                  bxf, byf, h_img, w_img, iota_xs, iota_ys, KX, KY,
-                  precision):
-    """One particle block x one camera: returns (val, ok) [1, PB*W2p].
-    Same math as _block_body (v2), reading H at [0, c, p, k]."""
-    hs = [[H_ref[0, c, i * PB + j, k] for k in range(9)] for j in range(PB)]
-
-    ucs, n_ok = 0.0, 0
-    for j in range(PB):
-        h = hs[j]
-        wc = h[6] * px + h[7] * py + h[8]
-        uc = (h[0] * px + h[1] * py + h[2]) / jnp.where(wc == 0, 1.0, wc)
-        f = (flags[j] != 0) & (wc != 0)
-        ucs = ucs + jnp.where(f, uc, 0.0)
-        n_ok = n_ok + f.astype(jnp.int32)
-    uc_mean = ucs / jnp.maximum(n_ok, 1).astype(jnp.float32)
-    xoff = jnp.clip((uc_mean - bxf).astype(jnp.int32) - KS // 2, 0, KX - KS)
-    box_p = pltpu.roll(box_f, -xoff, 1)[:, :KS]
-    if precision is None:
-        box_p = box_p.astype(jnp.bfloat16)
-    xofff = xoff.astype(jnp.float32)
-
-    us, vs, oks = [], [], []
-    for j in range(PB):
-        h = hs[j]
-        wq = h[6] * x + h[7] * y + h[8]                       # [1, T]
-        swq = jnp.where(wq == 0, 1.0, wq)
-        u = (h[0] * x + h[1] * y + h[2]) / swq
-        v = (h[3] * x + h[4] * y + h[5]) / swq
-        ok = ((wq != 0) & (flags[j] != 0)
-              & (u >= 2.0) & (u < w_img - 3.0)
-              & (v >= 2.0) & (v < h_img - 3.0))
-        us.append(u)
-        vs.append(v)
-        oks.append(ok)
-    u_blk = jnp.concatenate(us, axis=1)                       # [1, PB*T]
-    v_blk = jnp.concatenate(vs, axis=1)
-    ok_blk = jnp.concatenate(oks, axis=1)
-
-    ub = u_blk - bxf - xofff
-    vb = v_blk - byf
-    ok_blk = (ok_blk & (ub >= 0) & (ub <= KS - 2)
-              & (vb >= 0) & (vb <= KY - 2))
-
-    CwT = jnp.maximum(1.0 - jnp.abs(vb - iota_ys), 0.0)       # [KY, PB*T]
-    RwT = jnp.maximum(1.0 - jnp.abs(ub - iota_xs), 0.0)       # [KS, PB*T]
-    if precision is None:
-        S = jax.lax.dot_general(
-            box_p, CwT.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [KS, PB*T]
-    else:
-        S = jax.lax.dot_general(
-            box_p, CwT, (((0,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
-    val = jnp.sum(S * RwT, axis=0, keepdims=True)             # [1, PB*T]
-    return val, ok_blk
-
-
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "cover", "interpret", "precise"))
 def warped_patch_vectors_pallas(scene: Scene, cfg: MvsConfig,
@@ -754,7 +756,7 @@ def warped_patch_vectors_pallas(scene: Scene, cfg: MvsConfig,
     C = rig.num_cameras
     r = cfg.patch_radius
     if cover is None:
-        cover = int(2.2 * r) + 8
+        cover = int((STRETCH + 0.4) * r) + 8
     cover_y = int(1.6 * r) + 10
     lod_scale = jnp.power(jnp.float32(cfg.lod_ratio), lod.astype(jnp.float32))
     H, hok = F._per_camera_homographies(scene, center, normal, ref_cam,
@@ -813,7 +815,7 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     C = rig.num_cameras
     r = cfg.patch_radius
     if cover is None:
-        cover = int(2.2 * r) + 8
+        cover = int((STRETCH + 0.4) * r) + 8
     cover_y = int(1.6 * r) + 10
     W2 = (2 * r + 1) ** 2
 

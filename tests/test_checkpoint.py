@@ -62,3 +62,24 @@ def test_load_checkpoint_missing_returns_false(tmp_path, small):
     cfg, sc = small
     rec = Reconstructor(sc.params, sc.images, cfg, verbose=False)
     assert not rec.load_checkpoint(str(tmp_path / "nope.mvs"))
+
+
+def test_corrupt_sidecar_leaves_arena_untouched(tmp_path, small):
+    """A sidecar that OPENS but has a bad member must be rejected without
+    half-mutating the arena (ADVICE r1: every field materializes inside
+    the try before any arena write)."""
+    cfg, sc = small
+    rec = _fresh(cfg, sc)
+    rec.refine_seeds()
+    ck = str(tmp_path / "auto_save.mvs")
+    rec.save_checkpoint(ck)
+
+    # corrupt one member: rewrite the npz with a truncated field
+    st = dict(np.load(ck + ".state.npz"))
+    st["d_center"] = st["d_center"][:3]        # wrong row count
+    np.savez_compressed(ck + ".state.npz", **st)
+
+    rec2 = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+    before_count = rec2.arena.count
+    assert not rec2.load_checkpoint(ck)
+    assert rec2.arena.count == before_count    # nothing mutated

@@ -167,26 +167,18 @@ def _slice_width(W2p: int, KX: int) -> int:
     return min(128, KX)
 
 
-def _sample_block_dual(hs, flags, box_f, x, y, px, py, bxf, byf,
-                       h_img, w_img, mlo, mhi, iota_sm, iota_lg, iota_ys,
-                       KX, KY, PB, r_c, precision, write):
-    """One particle block x one camera, with per-block slice-width
-    dispatch: blocks whose warped u-extent (bounded by the 4 ref-window
-    corners per particle — projective u along a window edge is monotone
-    between poles, and pole-in-window pixels are invalid in EITHER path)
-    fits the narrow slice run the cheap body; near-grazing blocks pay for
-    the wide one. Exactly one branch executes and calls
+def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
+                  h_img, w_img, mlo, mhi, iota_lg, iota_ys,
+                  KX, KY, PB, precision, write):
+    """One particle block x one camera: bilinear-sample all PB particles'
+    warped windows from the block's 128-wide box slice and call
     ``write(val [1, PB*T], ok [1, PB*T])``.
 
     hs: per-particle lists of 9 homography scalars; flags: per-particle
     validity scalars; box_f: [KY, KX] f32; x/y: [1, T] ref-window pixel
-    coordinates; mlo/mhi: bounds margins; r_c: conservative window
-    half-extent (pixels) for the corner test.
+    coordinates; mlo/mhi: bounds margins.
     """
-    KS_SM = iota_sm.shape[0]
     KS_LG = iota_lg.shape[0]
-    T = x.shape[1]
-    INFP = 1e30
 
     # scalar pass: block slice centering = mean valid warped center
     ucs, n_ok = 0.0, 0
@@ -303,18 +295,14 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
     PB = 8 if P % 8 == 0 else 1
     NB = P // PB
     KS_LG = _slice_width(W2p, KX)
-    KS_SM = min(64, KS_LG)
     # TRANSPOSED weight layout: pixels stay on the LANE axis from the u,v
     # math through the weights, the matmul N axis, the reduction, and the
     # final store — no lane<->sublane relayouts anywhere in the loop (the
     # [T]-vector-to-matrix-row path was v0's real bottleneck)
-    iota_sm = jax.lax.broadcasted_iota(jnp.int32, (KS_SM, 1), 0) \
-        .astype(jnp.float32)
     iota_lg = jax.lax.broadcasted_iota(jnp.int32, (KS_LG, 1), 0) \
         .astype(jnp.float32)
     iota_ys = jax.lax.broadcasted_iota(jnp.int32, (KY, 1), 0) \
         .astype(jnp.float32)
-    r_c = int(np.sqrt(W2p)) // 2 + 1
 
     bxf = bx.astype(jnp.float32)
     byf = by.astype(jnp.float32)
@@ -335,9 +323,9 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
 
         @pl.when(n_any > 0)
         def _blk(hs=hs, flags=flags, w=_write):
-            _sample_block_dual(hs, flags, box_f, x, y, px, py, bxf, byf,
-                               h_img, w_img, mlo, mhi, iota_sm, iota_lg,
-                               iota_ys, KX, KY, PB, r_c, precision, w)
+            _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
+                          h_img, w_img, mlo, mhi, iota_lg, iota_ys,
+                          KX, KY, PB, precision, w)
 
 
 def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
@@ -698,13 +686,13 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                         sam[pl.ds(c, 1), :] = jnp.where(ok, val, 0.0)
                         okf[pl.ds(c, 1), :] = ok.astype(jnp.float32)
 
-                    _sample_block_dual(
+                    _sample_block(
                         hs, flags, box_vals[c], x, y, px, py,
                         ints_ref[0, c, 0].astype(jnp.float32),
                         ints_ref[0, c, 2].astype(jnp.float32),
                         flts_ref[0, c, 0], flts_ref[0, c, 1],
-                        2.0, 3.0, iota_sm, iota_lg, iota_ys,
-                        KX, KY, PB, r_c, precision, w)
+                        2.0, 3.0, iota_lg, iota_ys,
+                        KX, KY, PB, precision, w)
 
                 @pl.when(act_c == 0)
                 def _cam0(c=c):

@@ -144,3 +144,13 @@ def test_region_ratio_anisotropic_scale():
     H = jnp.asarray(np.diag([4.0, 1.0, 1.0]))
     r = geom.homography_region_ratio(H, jnp.asarray([3.0, 3.0]))
     np.testing.assert_allclose(float(r), 0.25, atol=1e-5)
+
+
+def test_package_defaults_full_precision_matmuls():
+    """Importing the package must pin true-f32 einsums: TPU's default
+    single-pass-bf16 f32 dot lowering cost 5x seed accuracy on real
+    imagery (BASELINE.md round 2). The Pallas kernels pin their own
+    precision, so this canary guards the geometry chain only."""
+    import jax
+    import pais_mvs_tpu  # noqa: F401  (import applies the default)
+    assert jax.config.jax_default_matmul_precision == "highest"

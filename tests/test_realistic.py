@@ -87,6 +87,52 @@ def _recon_median(sc, apply_distortion: bool) -> float:
     return float(np.median(sc.surface_distance(pts)))
 
 
+def test_cli_distorted_nvm_roundtrip(tmp_path, monkeypatch):
+    """Full CLI -r over an NVM whose cameras carry the REAL pawn
+    distortion and whose images were rendered through it, with
+    applyDistortion in config.txt — exercises the measurement
+    undistortion wiring in the CLI load path."""
+    from PIL import Image
+    from pais_mvs_tpu.io import mvsbin
+    from pais_mvs_tpu.io.nvm import save_nvm
+    from pais_mvs_tpu import cli
+
+    sc = make_realistic_scene(num_seeds=60, seed=2, distort=True,
+                              gain_jitter=0.0, bias_jitter=0.0)
+    for p, img in zip(sc.params, sc.images):
+        Image.fromarray(img).save(tmp_path / p.file_name)
+    # NVM measurements are CENTER-origin distorted-image coordinates
+    ipts = sc.seed_img_points.copy()
+    for c, img in enumerate(sc.images):
+        ipts[:, c, 0] -= img.shape[1] // 2
+        ipts[:, c, 1] -= img.shape[0] // 2
+    save_nvm(str(tmp_path / "scene.nvm"), sc.params, sc.seed_centers,
+             np.full((len(sc.seed_centers), 3), 128.0),
+             sc.seed_cam_masks, ipts)
+    (tmp_path / "config.txt").write_text(
+        "patchRadius 6\nmaxLOD 4\nparticleNum 8\nmaxIteration 12\n"
+        "distWeighting 2.0\ncellSize 12\nminCamNum 3\n"
+        "maxCellPatchNum 2\nneighborRadiusScalar 0.01\n"
+        "seedRefineRounds 2\nbatchSize 128\nwavefrontSize 128\n"
+        "applyDistortion 1\n")
+    # cap the expansion so the CLI run stays CI-sized
+    import pais_mvs_tpu.engine.reconstructor as recon_mod
+    orig_expand = recon_mod.Reconstructor.expand
+    monkeypatch.setattr(
+        recon_mod.Reconstructor, "expand",
+        lambda self, max_rounds=10_000, autosave_path=None:
+            orig_expand(self, max_rounds=8, autosave_path=autosave_path))
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["-r", "scene.nvm", "-o", str(tmp_path)])
+    assert rc == 0
+    f = mvsbin.read_mvs(str(tmp_path / "exp.mvs"))
+    assert len(f.patches.centers) > 100
+    d = sc.surface_distance(f.patches.centers)
+    assert np.median(d) < 0.006, np.median(d)
+    # the loader must preserve the distortion coefficient round-trip
+    assert all(c.radial_distortion < -0.19 for c in f.cameras)
+
+
 def test_radial_distortion_correction():
     """Images rendered through the pawn cameras' REAL radial distortion
     (r ~ -0.2, up to ~25 px displacement at the corners): ignoring r must

@@ -198,21 +198,41 @@ class Reconstructor:
     # ------------------------------------------------------------------
     # device batching
     # ------------------------------------------------------------------
+    def _chunk_sizes(self, B: int):
+        """Fixed-shape chunk plan: full batches plus a LADDER of smaller
+        tail sizes (bs/2, bs/4) so a 400-seed load doesn't pad to 1024 —
+        each size is one extra cached compile, and the padding waste on
+        partial batches drops ~4x."""
+        bs = self.cfg.batch_size
+        n_dev = 1 if self._dp_mesh is None else self._dp_mesh.size
+        floor = max(64, n_dev)
+        ladder = sorted({bs, max(bs // 2 // n_dev * n_dev, floor),
+                         max(bs // 4 // n_dev * n_dev, floor)})
+        sizes = []
+        rem = B
+        while rem > 0:
+            size = next((s for s in ladder if s >= rem), bs)
+            sizes.append(size)
+            rem -= size
+        return sizes
+
     def _refine_all(self, pb: PatchBatch, is_seed: bool, rounds: int,
                     final_filter: bool = True):
         """Refine an arbitrary-size batch in fixed-shape chunks."""
         cfg = self.cfg
         B = pb.center.shape[0]
-        bs = cfg.batch_size
-        pad = (-B) % bs
+        sizes = self._chunk_sizes(B)
+        total = sum(sizes)
+        pad = total - B
         if pad:
             filler = patch_mod.take(pb, np.zeros(pad, dtype=np.int64))
             filler = filler.replace(valid=np.zeros(pad, dtype=bool))
             pb = patch_mod.concat(jax.device_get(pb), jax.device_get(filler))
         outs, its = [], []
-        total = B + pad
-        for s in range(0, total, bs):
-            chunk = patch_mod.take(pb, np.arange(s, s + bs))
+        s = 0
+        for size in sizes:
+            chunk = patch_mod.take(pb, np.arange(s, s + size))
+            s += size
             chunk = jax.tree.map(jnp.asarray, chunk)
             self.key, sub = jax.random.split(self.key)
             if self._dp_mesh is not None:
@@ -241,7 +261,8 @@ class Reconstructor:
         cache = getattr(self, "_dp_fns", None)
         if cache is None:
             cache = self._dp_fns = {}
-        fn = cache.get((is_seed, rounds, final_filter))
+        key_t = (is_seed, rounds, final_filter, chunk.center.shape[0])
+        fn = cache.get(key_t)
         if fn is None:
             cfg = self.cfg
             scene = self.scene
@@ -257,7 +278,7 @@ class Reconstructor:
                 in_specs=(spec, P(), P()),
                 out_specs=lc.RefineResult(spec, P("dp")),
                 check_vma=False))
-            cache[(is_seed, rounds, final_filter)] = fn
+            cache[key_t] = fn
         return fn(chunk, key, jnp.float32(self.neighbor_radius))
 
     def _append_to_arena(self, out: PatchBatch, keep: np.ndarray,

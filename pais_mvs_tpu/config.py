@@ -94,6 +94,11 @@ class MvsConfig:
     # pinhole (the reference parses NVM radial distortion but never enables
     # it at any project() call site; camera.cpp:148-155)
     apply_distortion: bool = False
+    # narrow (64-wide) kernel box slices: ~25% faster refinement, but
+    # near-grazing hypotheses (warp u-span > ~60 px) falsely score BIG —
+    # fine on narrow-baseline rigs, measurably hurts wide-baseline ones
+    # (BASELINE.md round 2). Default keeps full coverage.
+    pallas_fast_slice: bool = False
 
     @property
     def patch_size(self) -> int:

@@ -62,7 +62,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
                    H_ref, offs_ref, out_ref, box0, box1, sem0, sem1, *,
-                   precision):
+                   precision, fast):
     """Grid (B, C). Emits warped bilinear samples for one (patch, view).
 
     ints: [B, C, 4] int32 (bx, by_atlas, by_level, active) in SMEM; ints2 is the SAME
@@ -143,7 +143,8 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
         box_f = jax.lax.cond(par == 0, lambda: box0[:, :],
                              lambda: box1[:, :]).astype(jnp.float32)
         _cell_body(ints_ref, flts_ref, pflags_ref, H_ref,
-                   offs_ref, out_ref, box_f, c, KY, KX, P, W2p, precision)
+                   offs_ref, out_ref, box_f, c, KY, KX, P, W2p, precision,
+                   fast)
 
 
 # Warp-stretch the BOX (DMA extent) must survive. The region-ratio gate
@@ -154,7 +155,7 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
 STRETCH = 2.6
 
 
-def _slice_width(W2p: int, KX: int) -> int:
+def _slice_width(W2p: int, KX: int, fast: bool = False) -> int:
     """WIDE column width of the per-block box slice.
 
     128 whenever the box allows it: seed swarms explore near-grazing
@@ -162,11 +163,12 @@ def _slice_width(W2p: int, KX: int) -> int:
     wide-baseline rig (measured p90 span 111 px on the pawn cameras —
     falsely-BIG clipping that cost 5x seed accuracy on real texture).
     The MXU contraction is flat in K up to 128; _bilinear_block puts the
-    LARGER of (KS, KY) on the MXU so only the weight build grows — and
-    most blocks take the 64-wide fast path anyway (_sample_block_dual
-    dispatches per block on the corner-bounded span).
+    LARGER of (KS, KY) on the MXU so only the weight build grows.
+
+    ``fast`` (cfg.pallas_fast_slice) restores the 64-wide slice: ~25%
+    faster, at the cost of falsely-BIG near-grazing hypotheses.
     """
-    return min(128, KX)
+    return min(64 if fast else 128, KX)
 
 
 def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
@@ -265,7 +267,7 @@ def _bilinear_block(box_p, RwT, CwT, KS, KY, precision):
 
 
 def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
-               out_ref, box_f, c, KY, KX, P, W2p, precision):
+               out_ref, box_f, c, KY, KX, P, W2p, precision, fast):
     """Particle-BLOCK batched sampling (kernel v2).
 
     Particles are processed in blocks of PB=8 sharing one KS-wide column
@@ -296,7 +298,7 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
     T = W2p                                                   # whole window
     PB = 8 if P % 8 == 0 else 1
     NB = P // PB
-    KS_LG = _slice_width(W2p, KX)
+    KS_LG = _slice_width(W2p, KX, fast)
     # TRANSPOSED weight layout: pixels stay on the LANE axis from the u,v
     # math through the weights, the matmul N axis, the reduction, and the
     # final store — no lane<->sublane relayouts anywhere in the loop (the
@@ -445,7 +447,8 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     # precise=True -> full-f32 multiplies at ~3x the MXU passes.
     prec = jax.lax.Precision.HIGHEST if precise else None
     vals = pl.pallas_call(
-        functools.partial(_sample_kernel, precision=prec),
+        functools.partial(_sample_kernel, precision=prec,
+                          fast=bool(cfg.pallas_fast_slice)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, P, W2p), jnp.float32),
         interpret=interpret,
@@ -462,7 +465,7 @@ def _fused_kernel(ints_ref, ints2_ref, scal_ref, flts_ref, pflags_ref,
                   images_ref, edges_ref, H_ref, offs_ref, out_ref,
                   boxes0, boxes1, ebox0, ebox1, sam, okf, sem0, sem1,
                   esem0, esem1, *, precision, use_diff, diff_w,
-                  use_dist, use_grad, grad_w):
+                  use_dist, use_grad, grad_w, fast):
     """Grid (B,). One patch per step: all C camera boxes live in VMEM
     (double-buffered across patches), every particle block is sampled per
     camera into ``sam``/``okf`` scratch, and the per-pixel mean / SAD /
@@ -582,19 +585,20 @@ def _fused_kernel(ints_ref, ints2_ref, scal_ref, flts_ref, pflags_ref,
         _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref,
                     offs_ref, out_ref, boxes0, boxes1, ebox0, ebox1,
                     sam, okf, par, C, KY, KX, P, PB, NB, PT, W2p,
-                    precision, use_diff, diff_w, use_dist, use_grad, grad_w)
+                    precision, use_diff, diff_w, use_dist, use_grad, grad_w,
+                    fast)
 
 
 def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                 out_ref, boxes0, boxes1, ebox0, ebox1, sam, okf, par,
                 C, KY, KX, P, PB, NB, PT, W2p, precision, use_diff, diff_w,
-                use_dist, use_grad, grad_w):
+                use_dist, use_grad, grad_w, fast):
     cn = scal_ref[0, 0, 1]
     px = flts_ref[0, 0, 2]                  # ref-window center (all rows eq)
     py = flts_ref[0, 0, 3]
     x = px + offs_ref[0:1, :]                                 # [1, W2p]
     y = py + offs_ref[1:2, :]
-    KS_LG = _slice_width(W2p, KX)
+    KS_LG = _slice_width(W2p, KX, fast)
     KS_SM = min(64, KS_LG)
     iota_sm = jax.lax.broadcasted_iota(jnp.int32, (KS_SM, 1), 0) \
         .astype(jnp.float32)
@@ -962,7 +966,8 @@ def _run_fused(scene: Scene, cfg: MvsConfig, H, pt, lod, cover, cover_y,
                           diff_w=float(cfg.diff_weighting),
                           use_dist=True,
                           use_grad=bool(cfg.adaptive_gradient_enable),
-                          grad_w=float(cfg.gradient_weighting)),
+                          grad_w=float(cfg.gradient_weighting),
+                          fast=bool(cfg.pallas_fast_slice)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, P, 1), jnp.float32),
         interpret=interpret,

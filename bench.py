@@ -109,6 +109,36 @@ def main():
             print("selftest: AGREEMENT BELOW 0.95 — kernel parity regressed",
                   file=sys.stderr)
 
+    # REAL-imagery quality gate ON DEVICE: the pawn-rig photo scene is the
+    # one that caught both round-2 accuracy bugs (bf16 einsum downcast,
+    # slice clipping) — classes the synthetic gate is blind to. Seed-refine
+    # it on this backend and gate the median surface distance at ~3x the
+    # healthy value (healthy ~8e-4; the r2 precision bug degraded this
+    # ~5x, so a regression of that class fails here).
+    realistic_ok = True
+    if os.environ.get("BENCH_REALISTIC", "1") != "0":
+        from pais_mvs_tpu.data.realistic import make_realistic_scene
+        rsc = make_realistic_scene(num_seeds=128, seed=0)
+        rcfg = MvsConfig(patch_radius=6, max_lod=4, particle_num=8,
+                         max_iteration=12, dist_weighting=2.0, cell_size=12,
+                         min_cam_num=3, batch_size=128)
+        rscene = build_scene(rsc.params, rsc.images, rcfg)
+        Br = (len(rsc.seed_centers) // 8) * 8
+        rpb = patch_mod.from_seeds(rsc.seed_centers[:Br],
+                                   rsc.seed_cam_masks[:Br],
+                                   rsc.seed_img_points[:Br])
+        rpb = lc.prepare_seeds(rscene, rcfg, rpb)
+        rres = lc.refine_batch(rscene, rcfg, rpb, jax.random.PRNGKey(3),
+                               jnp.float32(0.01), True, 2)
+        rkeep = np.asarray(rres.batch.valid)
+        rd = (rsc.surface_distance(np.asarray(rres.batch.center)[rkeep])
+              if rkeep.any() else np.array([np.inf]))
+        rmed = float(np.median(rd))
+        realistic_ok = rkeep.sum() > 0.4 * Br and rmed < 2.5e-3
+        print(f"realistic gate: {int(rkeep.sum())}/{Br} seeds, median "
+              f"surface dist {rmed:.5f} -> "
+              f"{'ok' if realistic_ok else 'FAIL'}", file=sys.stderr)
+
     # steady state
     t0 = time.time()
     for i in range(reps):
@@ -126,7 +156,8 @@ def main():
           f"{np.median(d):.5f}", file=sys.stderr)
     # gate at ~10x the measured steady-state quality (2.6e-4), not the old
     # 100x-loose 0.02 — a real regression must fail the gate
-    quality_ok = keep.sum() > B * 0.5 and np.median(d) < 0.003
+    quality_ok = keep.sum() > B * 0.5 and np.median(d) < 0.003 \
+        and realistic_ok
 
     cpu_pps = 0.979
     try:

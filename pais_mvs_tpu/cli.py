@@ -88,6 +88,44 @@ def _refine_poses(params, images, centers, cam_masks, img_points):
     return params, np.asarray(res.points, dtype=float)
 
 
+def _cam_principal(cam, img) -> np.ndarray:
+    """Principal point with the reference's image-center fallback for
+    unset (-1, -1) NVM principals."""
+    if cam.principal[0] < 0 and cam.principal[1] < 0:
+        return np.array([img.shape[1] >> 1, img.shape[0] >> 1], float)
+    return np.asarray(cam.principal, float)
+
+
+def _pinhole_points(cameras, images, ipts: np.ndarray,
+                    cfg: MvsConfig) -> np.ndarray:
+    """Undistort per-camera pixel measurements when applyDistortion is set
+    (the engine runs pure pinhole; build_scene undistorts the images)."""
+    if not cfg.apply_distortion:
+        return ipts
+    from pais_mvs_tpu.models.camera import undistort_points
+    ipts = np.array(ipts, dtype=float, copy=True)
+    for ci, (cam, img) in enumerate(zip(cameras, images)):
+        if abs(float(cam.radial_distortion)) < 1e-12:
+            continue
+        ipts[:, ci] = undistort_points(
+            ipts[:, ci], cam.focal, _cam_principal(cam, img),
+            float(cam.radial_distortion))
+    return ipts
+
+
+def _pinhole_images(cameras, images, cfg: MvsConfig):
+    """Undistorted copies of the input images when applyDistortion is set
+    (for host-side consumers like feature seeding that must see the same
+    pinhole imagery the engine samples)."""
+    if not cfg.apply_distortion:
+        return images
+    from pais_mvs_tpu.models.camera import undistort_image
+    return [undistort_image(img, cam.focal, _cam_principal(cam, img),
+                            float(cam.radial_distortion))
+            if abs(float(cam.radial_distortion)) >= 1e-12 else img
+            for cam, img in zip(cameras, images)]
+
+
 def _build_reconstructor(path: str, out_dir: str,
                          refine_poses: bool = False) -> Reconstructor:
     from pais_mvs_tpu.io.logmanager import LogManager
@@ -102,6 +140,9 @@ def _build_reconstructor(path: str, out_dir: str,
             widths = [img.shape[1] for img in images]
             heights = [img.shape[0] for img in images]
             ipts = nvm_io.decenter_image_points(data, widths, heights)
+            # bundle adjustment is pure pinhole: measurements from a
+            # distorted NVM must be undistorted first
+            ipts = _pinhole_points(data.cameras, images, ipts, cfg)
             _, new_pts = _refine_poses(data.cameras, images, data.centers,
                                        data.cam_masks, ipts)
             data.centers = new_pts
@@ -113,26 +154,18 @@ def _build_reconstructor(path: str, out_dir: str,
             widths = [img.shape[1] for img in images]
             heights = [img.shape[0] for img in images]
             ipts = nvm_io.decenter_image_points(data, widths, heights)
-            if cfg.apply_distortion:
-                from pais_mvs_tpu.models.camera import undistort_points
-                for ci, (cam, img) in enumerate(zip(data.cameras, images)):
-                    if abs(float(cam.radial_distortion)) < 1e-12:
-                        continue
-                    pp = (np.array([img.shape[1] >> 1, img.shape[0] >> 1],
-                                   float)
-                          if cam.principal[0] < 0 and cam.principal[1] < 0
-                          else np.asarray(cam.principal, float))
-                    ipts[:, ci] = undistort_points(
-                        ipts[:, ci], cam.focal, pp,
-                        float(cam.radial_distortion))
+            ipts = _pinhole_points(data.cameras, images, ipts, cfg)
             rec.load_seeds(data.centers, data.cam_masks, ipts, data.colors)
         else:
             # no sparse points in the NVM: feature-match our own seeds
             # (reference FeatureManager fallback, TMVS.cpp:98-103,
-            # epipolar tolerance 3.0 px)
+            # epipolar tolerance 3.0 px). Detection must run on the SAME
+            # pinhole imagery the engine uses — undistort first when
+            # applyDistortion is set (build_scene undistorts its copies).
             from pais_mvs_tpu.features import generate_seed_patches
             centers, cam_masks, s_ipts, colors = generate_seed_patches(
-                data.cameras, images, cfg, max_epipolar_dist=3.0)
+                data.cameras, _pinhole_images(data.cameras, images, cfg),
+                cfg, max_epipolar_dist=3.0)
             if len(centers):
                 rec.load_seeds(centers, cam_masks, s_ipts, colors)
     elif ext == "mvs":

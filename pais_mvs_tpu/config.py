@@ -99,6 +99,12 @@ class MvsConfig:
     # fine on narrow-baseline rigs, measurably hurts wide-baseline ones
     # (BASELINE.md round 2). Default keeps full coverage.
     pallas_fast_slice: bool = False
+    # dual-width kernel dispatch: per PSO iteration, patches whose every
+    # particle window provably fits the 64-wide slice run a narrow launch
+    # (saving its VPU weight-build cost); the rest run the full-coverage
+    # 128-wide launch. Bit-identical to always-wide (the routing test
+    # mirrors the kernel's slice math conservatively); pure speed knob.
+    pallas_span_bucket: bool = True
 
     @property
     def patch_size(self) -> int:

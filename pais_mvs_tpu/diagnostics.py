@@ -176,9 +176,9 @@ function draw() {{
     pts.push([q[0],q[1],q[2],p]);
   }}
   proj = pts;
-  pts.slice().sort((a,b)=>a[2]-b[2]);
+  const sorted = pts.slice().sort((a,b)=>a[2]-b[2]);  // back-to-front
   const nlen = 0.03*scale0;
-  for (const q of pts) {{
+  for (const q of sorted) {{
     const p=q[3];
     if (showN && p[7]!==undefined) {{
       const e=xform(p[0]+p[7]*nlen, p[1]+p[8]*nlen, p[2]+p[9]*nlen, s);

@@ -205,7 +205,10 @@ class Reconstructor:
         partial batches drops ~4x."""
         bs = self.cfg.batch_size
         n_dev = 1 if self._dp_mesh is None else self._dp_mesh.size
-        floor = max(64, n_dev)
+        # every ladder entry must divide evenly over the dp mesh (a 6- or
+        # 12-device mesh does not divide 64) — round the floor UP to a
+        # device-count multiple
+        floor = -(-64 // n_dev) * n_dev
         ladder = sorted({bs, max(bs // 2 // n_dev * n_dev, floor),
                          max(bs // 4 // n_dev * n_dev, floor)})
         sizes = []
@@ -315,6 +318,22 @@ class Reconstructor:
     # ------------------------------------------------------------------
     # expansion
     # ------------------------------------------------------------------
+    def _strategy_order(self, frontier: np.ndarray) -> np.ndarray:
+        """Queue pop order over the frontier per the configured expansion
+        strategy (MVS::getPatchIdFromQueue, mvs.cpp:632-788)."""
+        cfg = self.cfg
+        from pais_mvs_tpu import config as cfg_mod
+        if cfg.expansion_strategy == cfg_mod.EXPANSION_WORST_FIRST:
+            return np.argsort(-self.arena.data["priority"][frontier],
+                              kind="stable")
+        if cfg.expansion_strategy == cfg_mod.EXPANSION_BREADTH_FIRST:
+            return np.arange(len(frontier))               # FIFO by id
+        if cfg.expansion_strategy == cfg_mod.EXPANSION_DEPTH_FIRST:
+            return np.arange(len(frontier))[::-1]         # LIFO by id
+        # best-first: lowest priority first (mvs.cpp:656-693)
+        return np.argsort(self.arena.data["priority"][frontier],
+                          kind="stable")
+
     def _is_neighbor(self, c1, n1, c2, n2) -> np.ndarray:
         """Plane-to-plane distance test (Patch::isNeighbor, patch.cpp:6-23).
         Vectorized over leading dims of c2/n2."""
@@ -455,18 +474,7 @@ class Reconstructor:
             frontier = frontier[~a.expanded[frontier]]
             if len(frontier) == 0:
                 break
-            # queue pop strategies (MVS::getPatchIdFromQueue, mvs.cpp:632-788)
-            from pais_mvs_tpu import config as cfg_mod
-            if cfg.expansion_strategy == cfg_mod.EXPANSION_WORST_FIRST:
-                order = np.argsort(-a.data["priority"][frontier],
-                                   kind="stable")
-            elif cfg.expansion_strategy == cfg_mod.EXPANSION_BREADTH_FIRST:
-                order = np.arange(len(frontier))          # FIFO by id
-            elif cfg.expansion_strategy == cfg_mod.EXPANSION_DEPTH_FIRST:
-                order = np.arange(len(frontier))[::-1]    # LIFO by id
-            else:  # best-first: lowest priority first (mvs.cpp:656-693)
-                order = np.argsort(a.data["priority"][frontier],
-                                   kind="stable")
+            order = self._strategy_order(frontier)
             parents = frontier[order][:cfg.wavefront_size]
             a.expanded[parents] = True
 
@@ -854,26 +862,23 @@ class Reconstructor:
 
 
 def _expand_distributed(self, mesh=None, max_rounds: int = 64,
-                        per_shard: int = 256,
+                        per_shard: int = 256, refine_budget=None,
                         autosave_path=None) -> int:
     """SPMD wavefront expansion over a cell-slab device mesh (the
     multi-device counterpart of ``expand``; BASELINE config 5).
 
-    Each round bins the frontier by reference-view cell column (shard
-    ownership), runs ``parallel.halo.sharded_expand_step`` — candidate
-    generation, ppermute halo routing, density dedupe, plane intersection,
-    batched refine and occupancy update all on-device — and merges the
-    accepted patches back into the arena.
-
-    Documented simplification vs the host path: candidates come from each
-    patch's REFERENCE view's grid only (the host path walks every visible
-    view's grid). The density grid is PER CAMERA (rows cam*grid_h + row),
-    matching the reference's one-CellMap-per-camera. Quality is validated
-    set-wise, not by insertion order.
+    Each round orders the frontier by the configured expansion strategy,
+    bins parents by reference-view cell column (shard ownership), and runs
+    ``parallel.expansion.expand_step`` — all-view candidate generation,
+    full three-clause skipNeighborCell against the exchanged cellmate
+    state, plane intersection, batched refine, insert-time re-check and
+    occupancy update all on-device — then merges the accepted patches back
+    into the arena. See parallel/expansion.py for the semantics map vs
+    mvs.cpp:529-601/792-898 and the two documented divergences.
     """
     import jax
     import math as _math
-    from pais_mvs_tpu.parallel.halo import sharded_expand_step
+    from pais_mvs_tpu.parallel.expansion import build_occupancy, expand_step
     from pais_mvs_tpu.parallel.mesh import make_mesh
 
     cfg = self.cfg
@@ -882,88 +887,91 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
         n = max(jax.local_device_count(), 1)
         mesh = make_mesh((n, 1))
     S = mesh.shape["patch"]
+    if refine_budget is None:
+        refine_budget = 8 * per_shard
 
     cell = cfg.cell_size
-    gw_cells = max(_math.ceil(w / cell) for w in self.widths)
-    gh_cells = max(_math.ceil(h / cell) for h in self.heights)
-    slab = max(2, _math.ceil(gw_cells / S))
-    grid_w = S * slab
-
-    # occupancy from the current live patches' reference-view cells —
-    # PER CAMERA (rows cam*grid_h + cell_row; one CellMap per camera like
-    # the reference, mvs.cpp:74-87)
     C_cams = a.num_cams
-    occ = np.zeros((grid_w, C_cams * gh_cells), np.int32)
-    live0 = a.live_ids()
-    refs0 = a.data["ref_cam"][live0]
-    for pid, rc in zip(live0, refs0):
-        ip = a.data["img_point"][pid, int(rc)]
-        cx, cy = int(ip[0] / cell), int(ip[1] / cell)
-        if 0 <= cx < grid_w and 0 <= cy < gh_cells:
-            occ[cx, int(rc) * gh_cells + cy] += 1
-    occ = jnp.asarray(occ)
+    cam_cells = np.stack(
+        [np.asarray([_math.ceil(w / cell) for w in self.widths], np.int32),
+         np.asarray([_math.ceil(h / cell) for h in self.heights], np.int32)],
+        axis=-1)                                              # [C, 2]
+    gw_cells = int(cam_cells[:, 0].max())
+    gh_cells = int(cam_cells[:, 1].max())
+    slab = max(1, _math.ceil(gw_cells / S))
 
+    # per-camera occupancy: counts AND cellmate state (center/normal/
+    # correlation) for the correlation + isNeighbor skip clauses
     self._update_neighbor_radius()
+    occ_np, ost_np = build_occupancy(a, cell, cam_cells, slab, S, gh_cells,
+                                     cfg.max_cell_patch_num)
+    occ = jnp.asarray(occ_np)
+    ost = jnp.asarray(ost_np)
+    cam_cells_j = jnp.asarray(cam_cells)
+
     t0 = time.time()
     total_inserted = 0
+    total_spilled = 0
     self._dist_save_time = a.count // 500
     for rnd in range(max_rounds):
         frontier = a.live_ids()
         frontier = frontier[~a.expanded[frontier]]
         if len(frontier) == 0:
             break
-        refc = a.data["ref_cam"][frontier].astype(np.int32)
-        ipts = a.data["img_point"][frontier, refc]            # [N, 2]
+        order = self._strategy_order(frontier)
+        ordered = frontier[order]                             # strategy order
+        refc = a.data["ref_cam"][ordered].astype(np.int32)
+        ipts = a.data["img_point"][ordered, refc]             # [N, 2]
         owner = np.clip((ipts[:, 0] / cell).astype(int) // slab, 0, S - 1)
+
+        # vectorized shard packing: rank of each parent within its shard
+        # (strategy order preserved — ``ordered`` is already sorted, and
+        # the stable owner sort keeps it within each shard's run)
+        by_owner = np.argsort(owner, kind="stable")
+        starts = np.searchsorted(owner[by_owner], np.arange(S))
+        rank = np.arange(len(ordered)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(ordered)]))
+        sel = by_owner[rank < per_shard]                      # kept rows
+        slot = owner[sel] * per_shard + rank[rank < per_shard]
 
         N = S * per_shard
         centers = np.zeros((N, 3), np.float32)
         normals = np.zeros((N, 3), np.float32)
-        img_xy = np.zeros((N, 2), np.float32)
-        priority = np.full(N, 1e30, np.float32)
+        orank = np.full(N, 1e30, np.float32)
         valid = np.zeros(N, bool)
-        rc_arr = np.zeros(N, np.int32)
-        pmask = np.zeros((N, a.num_cams), bool)
-        nrm = a.normals(frontier)
-        taken = []
-        for k in range(S):
-            ids = np.nonzero(owner == k)[0]
-            # best-priority first within the shard's budget
-            ids = ids[np.argsort(a.data["priority"][frontier[ids]],
-                                 kind="stable")][:per_shard]
-            for j, i in enumerate(ids):
-                t = k * per_shard + j
-                centers[t] = a.data["center"][frontier[i]]
-                normals[t] = nrm[i]
-                img_xy[t] = ipts[i]
-                priority[t] = a.data["priority"][frontier[i]]
-                valid[t] = True
-                rc_arr[t] = refc[i]
-                pmask[t] = a.data["cam_mask"][frontier[i]]
-                taken.append(frontier[i])
-        if not taken:
+        pmask = np.zeros((N, C_cams), bool)
+        taken = ordered[sel]
+        centers[slot] = a.data["center"][taken]
+        normals[slot] = a.normals(taken)
+        # the strategy-order position doubles as the device-side serial
+        # rank for every cell-budget decision (sel indexes ``ordered``)
+        orank[slot] = sel.astype(np.float32)
+        valid[slot] = True
+        pmask[slot] = a.data["cam_mask"][taken]
+        if len(taken) == 0:
             break
-        a.expanded[np.asarray(taken)] = True
+        a.expanded[taken] = True
 
         # split (not fold_in) so a resumed/repeated expansion never
         # replays the same PSO stream (ADVICE r1)
         self.key, sub = jax.random.split(self.key)
-        out_pb, accepted, occ, spilled = sharded_expand_step(
+        out_pb, accepted, occ, ost, spilled = expand_step(
             self.scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
-            jnp.asarray(img_xy), jnp.asarray(priority), jnp.asarray(valid),
-            jnp.asarray(rc_arr), jnp.asarray(pmask), occ,
-            self.neighbor_radius, sub,
-            mesh, slab, gh_cells, cap_per=cfg.max_cell_patch_num)
+            jnp.asarray(orank), jnp.asarray(valid), jnp.asarray(pmask),
+            occ, ost, cam_cells_j, self.neighbor_radius, sub,
+            mesh, slab, gh_cells, cap_per=cfg.max_cell_patch_num,
+            refine_budget=refine_budget)
         acc = np.asarray(accepted)
         if acc.any():
             outs = jax.device_get(out_pb)
             self._append_to_arena(outs, acc, is_seed=False)
             total_inserted += int(acc.sum())
         n_spill = int(np.asarray(spilled)[0])
-        self._log(f"dist round {rnd}: {int(np.asarray(valid).sum())} parents"
+        total_spilled += n_spill
+        self._log(f"dist round {rnd}: {len(taken)} parents"
                   f" -> {int(acc.sum())} inserted"
                   f" (total {len(a.live_ids())})"
-                  + (f" [occupancy spill {n_spill}]" if n_spill else ""))
+                  + (f" [refine-budget spill {n_spill}]" if n_spill else ""))
         # zero-accept rounds still make progress: the taken parents are
         # marked expanded, so the frontier drains and the top-of-loop
         # check terminates
@@ -973,6 +981,7 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
     self.grids = None          # host grids rebuilt lazily for the filters
     self.stats["dist_expansion_s"] = time.time() - t0
     self.stats["dist_inserted"] = total_inserted
+    self.stats["dist_spilled"] = total_spilled
     return len(a.live_ids())
 
 

@@ -34,10 +34,26 @@ def _resolve_backend(cfg: MvsConfig) -> str:
     return backend
 
 
+_RADIUS_WARNED = set()
+
+
 def _fitness_fn(cfg: MvsConfig):
     """Select the photoconsistency backend (decided at trace time)."""
     backend = _resolve_backend(cfg)
     if backend == "pallas":
+        from pais_mvs_tpu.ops.pallas_fitness import STRETCH
+        # the Pallas kernel's 128-wide block slice must cover the full
+        # stretched warp span; beyond patchRadius ~23 hypotheses the
+        # reference scores finitely would be silently BIG-fated — fall
+        # back to the jnp path (slow but exact) rather than degrade
+        if STRETCH * (2 * cfg.patch_radius + 1) > 128:
+            if cfg.patch_radius not in _RADIUS_WARNED:
+                _RADIUS_WARNED.add(cfg.patch_radius)
+                print(f"pais_mvs_tpu: patchRadius {cfg.patch_radius} "
+                      f"exceeds the Pallas kernel's slice coverage "
+                      f"({STRETCH:.1f}x window > 128 px); using the exact "
+                      f"jnp fitness path (slower)", flush=True)
+            return F.patch_fitness
         from pais_mvs_tpu.ops.pallas_fitness import patch_fitness_pallas
         return functools.partial(patch_fitness_pallas,
                                  precise=cfg.pallas_precise)
@@ -166,7 +182,9 @@ def remove_invisible_cameras(scene: Scene, cfg: MvsConfig,
     rig = scene.rig
     B = center.shape[0]
     C = rig.num_cameras
-    if _resolve_backend(cfg) == "pallas":
+    from pais_mvs_tpu.ops.pallas_fitness import STRETCH
+    if (_resolve_backend(cfg) == "pallas"
+            and STRETCH * (2 * cfg.patch_radius + 1) <= 128):
         from pais_mvs_tpu.ops.pallas_fitness import warped_patch_vectors_pallas
         vecs, corr_table, correlation, ok = warped_patch_vectors_pallas(
             scene, cfg, center, normal, ref_cam, cam_mask, lod,

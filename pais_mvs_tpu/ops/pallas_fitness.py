@@ -62,7 +62,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
                    H_ref, offs_ref, out_ref, box0, box1, sem0, sem1, *,
-                   precision, fast):
+                   precision, ks_lg):
     """Grid (B, C). Emits warped bilinear samples for one (patch, view).
 
     ints: [B, C, 4] int32 (bx, by_atlas, by_level, active) in SMEM; ints2 is the SAME
@@ -144,7 +144,7 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
                              lambda: box1[:, :]).astype(jnp.float32)
         _cell_body(ints_ref, flts_ref, pflags_ref, H_ref,
                    offs_ref, out_ref, box_f, c, KY, KX, P, W2p, precision,
-                   fast)
+                   ks_lg)
 
 
 # Warp-stretch the BOX (DMA extent) must survive. The region-ratio gate
@@ -155,20 +155,21 @@ def _sample_kernel(ints_ref, ints2_ref, flts_ref, pflags_ref, images_ref,
 STRETCH = 2.6
 
 
-def _slice_width(W2p: int, KX: int, fast: bool = False) -> int:
-    """WIDE column width of the per-block box slice.
+def _slice_width(W2p: int, KX: int, ks: int) -> int:
+    """Column width of the per-block box slice, clipped to the box.
 
-    128 whenever the box allows it: seed swarms explore near-grazing
-    normals whose warped u-span exceeds 64 in ~7% of candidates on a
-    wide-baseline rig (measured p90 span 111 px on the pawn cameras —
-    falsely-BIG clipping that cost 5x seed accuracy on real texture).
-    The MXU contraction is flat in K up to 128; _bilinear_block puts the
-    LARGER of (KS, KY) on the MXU so only the weight build grows.
-
-    ``fast`` (cfg.pallas_fast_slice) restores the 64-wide slice: ~25%
-    faster, at the cost of falsely-BIG near-grazing hypotheses.
+    The production fitness path launches the kernel at TWO static widths
+    per call (span bucketing, see ``_narrow_fit_mask``): 64 for patches
+    whose every particle window provably fits the narrow slice, 128 for
+    the rest. 128 covers the near-grazing normals whose warped u-span
+    exceeds 64 (~7% of seed candidates on a wide-baseline rig; measured
+    p90 span 111 px on the pawn cameras — falsely-BIG clipping that cost
+    5x seed accuracy on real texture). The MXU contraction is flat in K up
+    to 128; _bilinear_block puts the LARGER of (KS, KY) on the MXU so only
+    the VPU weight build scales with the width (~25% of kernel time at
+    128) — which is exactly what the narrow bucket saves.
     """
-    return min(64 if fast else 128, KX)
+    return min(ks, KX)
 
 
 def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
@@ -241,10 +242,20 @@ def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
     emit(KS_LG, iota_lg, center_lg)
 
 
-def _bilinear_block(box_p, RwT, CwT, KS, KY, precision):
-    """val[t] = sum_xy box[y, x] * Rw[x, t] * Cw[y, t] with the larger
-    weight matrix contracted on the MXU (one K-tile up to 128 either way)
-    and the row-weighted reduce over the SMALLER axis on the VPU."""
+def _bilinear_block(box_p, RwT, CwT, KS, KY, precision, contract_x=None):
+    """val[t] = sum_xy box[y, x] * Rw[x, t] * Cw[y, t] with one weight
+    matrix contracted on the MXU (one K-tile up to 128 either way) and the
+    row-weighted reduce over the other axis on the VPU.
+
+    ``contract_x=None`` picks the branch with the smaller MXU output and
+    VPU reduce: KS=64 < KY contracts y ([64, PT] out, 64-row reduce) —
+    this is where the narrow launch's ~25% saving lives. The price is
+    that narrow and wide launches quantize different weight matrices to
+    bf16, so dual-width fitness agrees with always-wide only to bf16
+    tolerance (the same bound as kernel-vs-jnp parity; pinning
+    contract_x=True was measured to erase the entire narrow gain)."""
+    if contract_x is None:
+        contract_x = KS >= KY
     if precision is None:
         cast = lambda m: m.astype(jnp.bfloat16)
         # pin DEFAULT explicitly: a global jax_default_matmul_precision
@@ -255,7 +266,7 @@ def _bilinear_block(box_p, RwT, CwT, KS, KY, precision):
     else:
         cast = lambda m: m
         kw = dict(precision=precision, preferred_element_type=jnp.float32)
-    if KS >= KY:
+    if contract_x:
         # contract x on the MXU: [KY, KS] x [KS, PT] -> [KY, PT]
         tmp = jax.lax.dot_general(box_p, cast(RwT),
                                   (((1,), (0,)), ((), ())), **kw)
@@ -267,7 +278,7 @@ def _bilinear_block(box_p, RwT, CwT, KS, KY, precision):
 
 
 def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
-               out_ref, box_f, c, KY, KX, P, W2p, precision, fast):
+               out_ref, box_f, c, KY, KX, P, W2p, precision, ks_lg):
     """Particle-BLOCK batched sampling (kernel v2).
 
     Particles are processed in blocks of PB=8 sharing one KS-wide column
@@ -298,7 +309,7 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
     T = W2p                                                   # whole window
     PB = 8 if P % 8 == 0 else 1
     NB = P // PB
-    KS_LG = _slice_width(W2p, KX, fast)
+    KS_LG = _slice_width(W2p, KX, ks_lg)
     # TRANSPOSED weight layout: pixels stay on the LANE axis from the u,v
     # math through the weights, the matmul N axis, the reduction, and the
     # final store — no lane<->sublane relayouts anywhere in the loop (the
@@ -448,7 +459,7 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     prec = jax.lax.Precision.HIGHEST if precise else None
     vals = pl.pallas_call(
         functools.partial(_sample_kernel, precision=prec,
-                          fast=bool(cfg.pallas_fast_slice)),
+                          ks_lg=64 if cfg.pallas_fast_slice else 128),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, P, W2p), jnp.float32),
         interpret=interpret,
@@ -465,7 +476,7 @@ def _fused_kernel(ints_ref, ints2_ref, scal_ref, flts_ref, pflags_ref,
                   images_ref, edges_ref, H_ref, offs_ref, out_ref,
                   boxes0, boxes1, ebox0, ebox1, sam, okf, sem0, sem1,
                   esem0, esem1, *, precision, use_diff, diff_w,
-                  use_dist, use_grad, grad_w, fast):
+                  use_dist, use_grad, grad_w, ks_lg):
     """Grid (B,). One patch per step: all C camera boxes live in VMEM
     (double-buffered across patches), every particle block is sampled per
     camera into ``sam``/``okf`` scratch, and the per-pixel mean / SAD /
@@ -586,19 +597,19 @@ def _fused_kernel(ints_ref, ints2_ref, scal_ref, flts_ref, pflags_ref,
                     offs_ref, out_ref, boxes0, boxes1, ebox0, ebox1,
                     sam, okf, par, C, KY, KX, P, PB, NB, PT, W2p,
                     precision, use_diff, diff_w, use_dist, use_grad, grad_w,
-                    fast)
+                    ks_lg)
 
 
 def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                 out_ref, boxes0, boxes1, ebox0, ebox1, sam, okf, par,
                 C, KY, KX, P, PB, NB, PT, W2p, precision, use_diff, diff_w,
-                use_dist, use_grad, grad_w, fast):
+                use_dist, use_grad, grad_w, ks_lg):
     cn = scal_ref[0, 0, 1]
     px = flts_ref[0, 0, 2]                  # ref-window center (all rows eq)
     py = flts_ref[0, 0, 3]
     x = px + offs_ref[0:1, :]                                 # [1, W2p]
     y = py + offs_ref[1:2, :]
-    KS_LG = _slice_width(W2p, KX, fast)
+    KS_LG = _slice_width(W2p, KX, ks_lg)
     KS_SM = min(64, KS_LG)
     iota_sm = jax.lax.broadcasted_iota(jnp.int32, (KS_SM, 1), 0) \
         .astype(jnp.float32)
@@ -713,6 +724,12 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
             absdev = jnp.zeros((1, PT), jnp.float32)
             okacc = jnp.ones((1, PT), jnp.float32)
             for c in range(C):
+                # SAD masks per-CAMERA activity (actf), not per-pixel
+                # validity (okf) like the jnp reference: an invalid pixel's
+                # deviation only matters when the pixel carries weight, and
+                # (a) foreground pixels with ANY invalid camera trigger the
+                # 1e30 kill below, (b) non-foreground pixels have w_pix = 0.
+                # Any change to the kill or weight logic must revisit this.
                 actf = (ints_ref[0, c, 3] != 0).astype(jnp.float32)
                 absdev = absdev + jnp.abs(sam[pl.ds(c, 1), :] - mean) * actf
                 okacc = okacc * okf[pl.ds(c, 1), :]
@@ -907,20 +924,23 @@ def _run_fused(scene: Scene, cfg: MvsConfig, H, pt, lod, cover, cover_y,
 
     Hflat = jnp.transpose(H, (0, 2, 1, 3, 4)).reshape(B, C, P, 9)
     is_ref = (jnp.arange(C)[None, :] == ref_cam[:, None])
-    ints = jnp.stack([bx, jnp.broadcast_to(by_atl, (B, C)),
-                      jnp.broadcast_to(by_lvl, (B, C)),
-                      act.astype(jnp.int32),
-                      is_ref.astype(jnp.int32)], axis=-1)
     pflags = pvalid.astype(jnp.int32)[:, None, :]
     flts = jnp.concatenate(
         [hwf, jnp.broadcast_to(pt[:, None, :], (B, C, 2))], axis=-1)
-    pactive = jnp.any(act, axis=-1)
-    if active is not None:
-        pactive &= active
     cn = jnp.sum(cam_mask, axis=-1).astype(jnp.float32)
     zeros = jnp.zeros((B,), jnp.float32)
-    scal = jnp.stack([pactive.astype(jnp.float32), cn, zeros, zeros],
-                     -1)[:, None, :]                          # [B, 1, 4]
+
+    def _ints_scal(act_k):
+        ints = jnp.stack([bx, jnp.broadcast_to(by_atl, (B, C)),
+                          jnp.broadcast_to(by_lvl, (B, C)),
+                          act_k.astype(jnp.int32),
+                          is_ref.astype(jnp.int32)], axis=-1)
+        pactive = jnp.any(act_k, axis=-1)
+        if active is not None:
+            pactive &= active
+        scal = jnp.stack([pactive.astype(jnp.float32), cn, zeros, zeros],
+                         -1)[:, None, :]                      # [B, 1, 4]
+        return ints, scal
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -960,16 +980,116 @@ def _run_fused(scene: Scene, cfg: MvsConfig, H, pt, lod, cover, cover_y,
     )
 
     prec = jax.lax.Precision.HIGHEST if precise else None
-    out = pl.pallas_call(
-        functools.partial(_fused_kernel, precision=prec,
-                          use_diff=bool(cfg.adaptive_difference_enable),
-                          diff_w=float(cfg.diff_weighting),
-                          use_dist=True,
-                          use_grad=bool(cfg.adaptive_gradient_enable),
-                          grad_w=float(cfg.gradient_weighting),
-                          fast=bool(cfg.pallas_fast_slice)),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, P, 1), jnp.float32),
-        interpret=interpret,
-    )(ints, ints, scal, flts, pflags, pyrs.images, pyrs.edges, Hflat, offs)
+
+    def _launch(act_k, ks):
+        ints, scal = _ints_scal(act_k)
+        return pl.pallas_call(
+            functools.partial(_fused_kernel, precision=prec,
+                              use_diff=bool(cfg.adaptive_difference_enable),
+                              diff_w=float(cfg.diff_weighting),
+                              use_dist=True,
+                              use_grad=bool(cfg.adaptive_gradient_enable),
+                              grad_w=float(cfg.gradient_weighting),
+                              ks_lg=ks),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, P, 1), jnp.float32),
+            interpret=interpret,
+        )(ints, ints, scal, flts, pflags, pyrs.images, pyrs.edges, Hflat,
+          offs)
+
+    ks_wide = min(128, KX)
+    ks_narrow = min(_NARROW_KS, ks_wide)
+    if cfg.pallas_fast_slice:
+        # legacy speed knob: one narrow launch for everything (documented
+        # falsely-BIG risk on near-grazing hypotheses)
+        out = _launch(act, ks_narrow)
+    elif cfg.pallas_span_bucket and ks_narrow < ks_wide and P > 1:
+        # span bucketing: per PSO iteration, patches whose every particle
+        # window PROVABLY fits the narrow slice run a KS=64 launch (~25%
+        # less VPU weight-build work); the rest run the full-coverage
+        # KS=128 launch. Inactive grid cells skip their DMA and body, so
+        # the two launches together do ~one launch of work. Bit-identical
+        # to always-wide by construction (_narrow_fit_mask mirrors the
+        # kernel's slice placement with a rounding guard).
+        narrow_ok = _narrow_fit_mask(H, pt, r, bx, KX, act, pvalid,
+                                     ks_narrow)
+        act_n = act & narrow_ok[:, None]
+        act_w = act & ~narrow_ok[:, None]
+        # an all-empty launch still pays ~6% of a full one walking its
+        # grid — skip it entirely (one scalar cond per launch; typical in
+        # the PSO's phases: early iterations all-wide, converged all-narrow)
+        big = lambda: jnp.full((B, P, 1), float(BIG), jnp.float32)
+        out_n = jax.lax.cond(jnp.any(act_n),
+                             lambda: _launch(act_n, ks_narrow), big)
+        out_w = jax.lax.cond(jnp.any(act_w),
+                             lambda: _launch(act_w, ks_wide), big)
+        out = jnp.where(narrow_ok[:, None, None], out_n, out_w)
+    else:
+        out = _launch(act, ks_wide)
     return out[:, :P_out, 0]
+
+
+_NARROW_KS = 64
+_SPAN_MARGIN = 2.0
+
+
+def _narrow_fit_mask(H, pt, r, bx, KX, act, pvalid, ks):
+    """[B] True where the ks-wide block slice PROVABLY covers every valid
+    particle's warped window in every active camera — mirroring
+    ``_sample_block``'s centering math (same truncation and clipping) with
+    a ``_SPAN_MARGIN``-px guard for f32/op-order rounding, so narrow-bucket
+    fitness is bit-identical to the wide launch's.
+
+    Soundness: the warp u over the window rectangle is a ratio of affine
+    functions of (x, y); when the denominator w has one sign at all 4
+    corners it keeps that sign everywhere inside (w is affine), and u's
+    extremes over the rectangle are then attained AT the corners — so
+    corner containment implies every window pixel lands in the slice.
+    Sign-mixed (near-degenerate) hypotheses and edge-clipped slices simply
+    fail the test and route to the wide launch, which scores them exactly
+    as before.
+
+    H: [B, P, C, 3, 3] (particle-padded); pt: [B, 2] ref-window centers;
+    bx: [B, C] int32 box origins (tile-aligned); act: [B, C] cells
+    computed; pvalid: [B, P] per-particle validity (padded).
+    """
+    B, P, C = H.shape[:3]
+    PB = 8 if P % 8 == 0 else 1
+    NB = P // PB
+    px = pt[:, 0][:, None, None]                              # [B, 1, 1]
+    py = pt[:, 1][:, None, None]
+
+    def warp_u(x, y):
+        w = H[..., 2, 0] * x + H[..., 2, 1] * y + H[..., 2, 2]
+        u = (H[..., 0, 0] * x + H[..., 0, 1] * y + H[..., 0, 2]) \
+            / jnp.where(w == 0, 1.0, w)
+        return u, w
+
+    # kernel scalar pass: per-block mean of the valid particles' warped
+    # window centers (particles arrive depth-sorted; blocks = 8 rows)
+    uc, wc = warp_u(px, py)                                   # [B, P, C]
+    fj = pvalid[:, :, None] & (wc != 0)
+    ucs = jnp.sum(jnp.where(fj, uc, 0.0).reshape(B, NB, PB, C), axis=2)
+    n_ok = jnp.sum(fj.reshape(B, NB, PB, C), axis=2)
+    center = ucs / jnp.maximum(n_ok, 1).astype(jnp.float32)   # [B, NB, C]
+    xoff = jnp.clip(center.astype(jnp.int32) - bx[:, None, :] - ks // 2,
+                    0, KX - ks)                               # [B, NB, C]
+    base = bx[:, None, :].astype(jnp.float32) + \
+        jnp.repeat(xoff, PB, axis=1).astype(jnp.float32)      # [B, P, C]
+
+    lo = _SPAN_MARGIN
+    hi = float(ks - 2) - _SPAN_MARGIN
+    fit_c = wc != 0
+    wpos = jnp.ones((B, P, C), bool)
+    wneg = jnp.ones((B, P, C), bool)
+    rr = float(r)
+    for dx, dy in ((-rr, -rr), (-rr, rr), (rr, -rr), (rr, rr)):
+        u, w = warp_u(px + dx, py + dy)
+        ub = u - base
+        fit_c &= (ub >= lo) & (ub <= hi)
+        wpos &= w > 0
+        wneg &= w < 0
+    fit_c &= wpos | wneg
+    cam_ok = fit_c | ~act[:, None, :]
+    p_ok = jnp.all(cam_ok, axis=-1) | ~pvalid
+    return jnp.all(p_ok, axis=1)

@@ -614,6 +614,25 @@ class OraclePipeline:
             self.patches.append(OraclePatch(ctr, sph, cams))
         self._update_neighbor_radius()
 
+    def adopt_cloud(self, centers, normal_sph, cam_masks, correlations,
+                    img_points, neighbor_radius=None):
+        """Load an externally reconstructed cloud (e.g. the engine's
+        arena) as the oracle's patch set — the reference's -f path, which
+        filters whatever .mvs it is given (TMVS.cpp:124-136)."""
+        self.patches = []
+        for i in range(len(centers)):
+            cams = [int(c) for c in np.nonzero(cam_masks[i])[0]]
+            p = OraclePatch(centers[i], np.asarray(normal_sph[i], float),
+                            cams)
+            p.correlation = float(correlations[i])
+            p.img_pts = np.asarray(img_points[i], float)
+            p.pid = i
+            self.patches.append(p)
+        if neighbor_radius is not None:
+            self.neighbor_radius = float(neighbor_radius)
+        else:
+            self._update_neighbor_radius()
+
     def _update_neighbor_radius(self):
         pts = np.array([p.center for p in self.patches
                         if not p.drop]) if self.patches else np.zeros((0, 3))
@@ -731,6 +750,154 @@ class OraclePipeline:
         if len(cams) < cfg.min_cam_num:
             return None
         return OraclePatch(center, parent.sph.copy(), cams)
+
+    # -- post filters (the reference -f pipeline, serial NumPy:
+    # MVS::cellFiltering / visibilityFiltering / neighborCellFiltering /
+    # neighborPatchFiltering, mvs.cpp:279-525) -------------------------
+    def _filter_grids(self):
+        """Fresh cell grids over the live patches (setCellMaps). Re-pids
+        patches by live index so grid ids stay valid."""
+        widths = [lv[0].shape[1] for lv in self.scene.levels]
+        heights = [lv[0].shape[0] for lv in self.scene.levels]
+        grids = self._CellGrids(widths, heights, self.cfg.cell_size)
+        for i, p in enumerate(self.patches):
+            p.pid = i
+            if not p.drop:
+                grids.insert_patch(i, self._mask_of(p), p.img_pts)
+        return grids
+
+    def _filter_delete(self, grids, pid: int):
+        """MVS::deletePatch (mvs.cpp:607-630): drop + remove from every
+        visible view's cell."""
+        p = self.patches[pid]
+        p.drop = True
+        grids.remove_patch(pid, self._mask_of(p), p.img_pts)
+
+    def _grid_cells(self, grids, cam: int):
+        """All (x, y) of one camera's map in the reference's x-outer,
+        y-inner scan order (mvs.cpp:293-295)."""
+        return ((x, y) for x in range(grids.width[cam])
+                for y in range(grids.height[cam]))
+
+    def cell_filtering(self, grids=None):
+        """PMVS rule (mvs.cpp:279-325): in each cell, kill patch j when
+        corr_j * camNum_j < sum of the other (live) cellmates'
+        correlations. Kills apply after each cell's scan."""
+        grids = grids or self._filter_grids()
+        removed = 0
+        C = len(self.scene.R)
+        for cam in range(C):
+            for x, y in self._grid_cells(grids, cam):
+                cell = list(grids.cell(cam, x, y))
+                kill = []
+                for q in cell:
+                    pq = self.patches[q]
+                    if pq.drop:
+                        continue
+                    corr_sum = sum(self.patches[o].correlation
+                                   for o in cell
+                                   if o != q and not self.patches[o].drop)
+                    if pq.correlation * len(pq.cam_idx) < corr_sum:
+                        kill.append(q)
+                for q in kill:
+                    self._filter_delete(grids, q)
+                    removed += 1
+        return removed
+
+    def visibility_filtering(self, grids=None):
+        """Depth-ordering consistency (mvs.cpp:399-446): a view stops
+        counting as visible when ANY cellmate in that view is closer to
+        the camera; kill when fewer than minCamNum views survive.
+        Patches scanned in id order, deletions immediate."""
+        grids = grids or self._filter_grids()
+        sc = self.scene
+        removed = 0
+        for p in self.patches:
+            if p.drop:
+                continue
+            visible = len(p.cam_idx)
+            for cam in p.cam_idx:
+                depth = float(np.linalg.norm(p.center - sc.center[cam]))
+                cx = int(p.img_pts[cam][0] / self.cfg.cell_size)
+                cy = int(p.img_pts[cam][1] / self.cfg.cell_size)
+                for q in grids.cell(cam, cx, cy):
+                    if q == p.pid or self.patches[q].drop:
+                        continue
+                    nd = float(np.linalg.norm(self.patches[q].center
+                                              - sc.center[cam]))
+                    if depth > nd:
+                        visible -= 1
+                        break
+            if visible < self.cfg.min_cam_num:
+                self._filter_delete(grids, p.pid)
+                removed += 1
+        return removed
+
+    def neighbor_cell_filtering(self, neighbor_ratio: float, grids=None):
+        """3x3 neighbourhood support ratio (mvs.cpp:327-397): kill when
+        the fraction of (live) patches in the 9 surrounding cells passing
+        isNeighbor falls below the ratio. Kills apply after each cell."""
+        grids = grids or self._filter_grids()
+        removed = 0
+        C = len(self.scene.R)
+        for cam in range(C):
+            for x, y in self._grid_cells(grids, cam):
+                cell = list(grids.cell(cam, x, y))
+                kill = []
+                for q in cell:
+                    pq = self.patches[q]
+                    if pq.drop:
+                        continue
+                    nsum = 0
+                    nnum = 0
+                    for dx in (-1, 0, 1):
+                        for dy in (-1, 0, 1):
+                            nx, ny = x + dx, y + dy
+                            if not grids.in_map(cam, nx, ny):
+                                continue
+                            ncell = [o for o in grids.cell(cam, nx, ny)
+                                     if not self.patches[o].drop]
+                            nsum += len(ncell)
+                            nnum += sum(self._is_neighbor(pq,
+                                                          self.patches[o])
+                                        for o in ncell)
+                    if nsum and nnum / nsum < neighbor_ratio:
+                        kill.append(q)
+                for q in kill:
+                    self._filter_delete(grids, q)
+                    removed += 1
+        return removed
+
+    def neighbor_patch_filtering(self, neighbor_ratio: float, grids=None):
+        """PCMVS density rule (mvs.cpp:448-525): count Euclidean
+        neighbours within neighborRadius (pre-filter state), kill patches
+        below avg * ratio."""
+        grids = grids or self._filter_grids()
+        live = [p for p in self.patches if not p.drop]
+        if not live:
+            return 0
+        pts = np.array([p.center for p in live])
+        d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+        counts = (d <= self.neighbor_radius).sum(axis=1) - 1
+        avg = counts.mean()
+        removed = 0
+        for p, c in zip(live, counts):
+            if c < avg * neighbor_ratio:
+                self._filter_delete(grids, p.pid)
+                removed += 1
+        return removed
+
+    def run_filters(self, ratio: float = 0.25) -> dict:
+        """The reference -f pipeline order (TMVS.cpp:124-172). Returns the
+        per-pass kill counts; the kill SETS are recoverable from the
+        patches' drop flags between calls."""
+        grids = self._filter_grids()
+        return {
+            "cell": self.cell_filtering(grids),
+            "visibility": self.visibility_filtering(grids),
+            "neighbor_cell": self.neighbor_cell_filtering(ratio, grids),
+            "neighbor_patch": self.neighbor_patch_filtering(ratio, grids),
+        }
 
     # -- outputs ------------------------------------------------------
     def cloud(self) -> np.ndarray:

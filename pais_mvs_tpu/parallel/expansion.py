@@ -1,0 +1,428 @@
+"""Full-semantics SPMD wavefront expansion.
+
+The round-2 distributed path (`parallel.halo.sharded_expansion_round`) was
+a documented simplification: reference-view candidates only, density-only
+dedupe, ring-limited routing. This module is the parity rewrite — one
+shard_map step that reproduces the host engine's (and the reference's)
+expansion semantics on a device mesh:
+
+  * candidates come from EVERY visible view's cell grid, the reference's
+    expandNeighborCell loop (TMVS/mvs/mvs.cpp:529-564 — the "reference
+    camera only" restriction there is commented out at :537);
+  * skipNeighborCell applies ALL THREE clauses (mvs.cpp:792-807): the
+    density cap, the cellmate-correlation gate, and the geometric
+    isNeighbor plane-distance test — which requires exchanging cellmate
+    STATE (center, normal, correlation), not just counts: the occupancy is
+    an [grid_w, C*grid_h] count grid plus a [grid_w, C*grid_h, cap, 7]
+    state grid, both sharded over cell columns;
+  * the serial ordering the reference gets from its priority queue
+    (mvs.cpp:632-788, all four expansion strategies) is reproduced by an
+    explicit per-parent ORDER RANK: the host assigns each frontier parent
+    its position in the strategy order, and every device-side cell-budget
+    decision (per-cell intra-round cap, refine-budget compaction,
+    insert-time re-check) is taken in that order.
+
+Routing: a candidate's owner is the shard holding its (camera, cell
+column) slab. Because multi-view candidates land anywhere in any camera's
+grid (a patch projects to very different pixels per view), the ring halo
+exchange of the simplified path cannot carry them — candidates are
+all_gather'ed (XLA lowers it to an ICI ring) and each shard filters the
+rows it owns. Payloads are a few KB per shard per round.
+
+Divergences vs the host path's serial insert loop (both bounded, both
+surfaced by the cloud-parity test in tests/test_engine_distributed.py):
+  * the insert-time re-check evaluates the correlation / isNeighbor
+    clauses against the PRE-round occupancy (the host re-checks against
+    the live grid which fills as it inserts); the intra-round density is
+    still enforced in strategy order via the rank caps;
+  * candidates past the per-shard refine budget are dropped (counted and
+    returned as ``spilled``), where the host would queue them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pais_mvs_tpu.parallel.mesh import PATCH_AXIS
+
+OCC_STATE_F = 7            # center xyz, normal xyz, correlation
+
+
+def _run_rank(sort_key_cells, order_idx):
+    """Rank of each element within its (sorted) equal-cell run.
+
+    sort_key_cells: [M] cell ids with inactive rows pushed to a sentinel;
+    order_idx: [M] f32 serial-order key (lower = earlier). Returns rank
+    [M] in ORIGINAL row order."""
+    order = jnp.lexsort((order_idx, sort_key_cells))
+    cid_s = sort_key_cells[order]
+    idx = jnp.arange(cid_s.shape[0])
+    same = jnp.concatenate([jnp.zeros(1, bool), cid_s[1:] == cid_s[:-1]])
+    start = jnp.where(~same, idx, 0)
+    start = jax.lax.associative_scan(jnp.maximum, start)
+    rank_s = idx - start
+    return jnp.zeros_like(rank_s).at[order].set(rank_s)
+
+
+def _skip_clauses(occ, ost, lcol, comb, pcen, pnorm, nr, cap,
+                  min_correlation):
+    """MVS::skipNeighborCell (mvs.cpp:792-807) against the local occupancy
+    state: returns (skip [M] bool, cnt [M] i32). Clause a: cell full;
+    clause b: any cellmate correlation > minCorrelation; clause c: any
+    cellmate within plane-to-plane neighbor distance of the parent."""
+    cnt = occ[lcol, comb]                                     # [M]
+    st = ost[lcol, comb]                                      # [M, cap, 7]
+    slot_ok = (jnp.arange(cap)[None, :]
+               < jnp.minimum(cnt, cap)[:, None])              # [M, cap]
+    skip = cnt >= cap
+    skip |= jnp.any(slot_ok & (st[..., 6] > min_correlation), axis=-1)
+    d = st[..., 0:3] - pcen[:, None, :]
+    dist = jnp.abs(jnp.sum(d * pnorm[:, None, :], -1)) + \
+        jnp.abs(jnp.sum(d * st[..., 3:6], -1))
+    skip |= jnp.any(slot_ok & (dist <= nr), axis=-1)
+    return skip, cnt
+
+
+@functools.lru_cache(maxsize=32)
+def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
+                    C, R):
+    """Build + cache the jitted shard_map for expand_step (a fresh closure
+    per call would recompile every time)."""
+    from pais_mvs_tpu.models import patch as patch_mod
+    from pais_mvs_tpu.ops import geometry as geom
+    from pais_mvs_tpu.ops import lifecycle as lc
+
+    CGH = C * grid_h
+    BIGCELL = np.int32(2 ** 30)
+
+    def body(scene, pc, pn, orank, pval, pmask, occ, ost, cam_cells,
+             nr, key):
+        rig = scene.rig
+        k = jax.lax.axis_index(PATCH_AXIS)
+        S = jax.lax.axis_size(PATCH_AXIS)
+        n = pc.shape[0]
+
+        # ---- candidate generation: 4-neighbour cells in EVERY visible
+        # view's grid (mvs.cpp:529-564) ----
+        def proj_cam(Rc, Tc, fc, ppc):
+            return geom.project(pc, Rc, Tc, fc, ppc, 1.0)[0]
+        ipts = jax.vmap(proj_cam, in_axes=(0, 0, 0, 0), out_axes=1)(
+            rig.R, rig.T, rig.focal, rig.principal)           # [n, C, 2]
+        ipts = jnp.where(jnp.isfinite(ipts), ipts, -1e6)
+        cx = jnp.floor(ipts[..., 0] / cell_size).astype(jnp.int32)
+        cy = jnp.floor(ipts[..., 1] / cell_size).astype(jnp.int32)
+        offs = jnp.asarray([[-1, 0], [0, -1], [1, 0], [0, 1]], jnp.int32)
+        ncx = cx[:, :, None] + offs[None, None, :, 0]         # [n, C, 4]
+        ncy = cy[:, :, None] + offs[None, None, :, 1]
+        wcell = cam_cells[None, :, 0:1]                       # [1, C, 1]
+        hcell = cam_cells[None, :, 1:2]
+        ok = (pval[:, None, None] & pmask[:, :, None]
+              & (ncx >= 0) & (ncx < wcell) & (ncy >= 0) & (ncy < hcell))
+
+        m = n * C * 4
+        cam = jnp.broadcast_to(jnp.arange(C)[None, :, None], (n, C, 4))
+        par = jnp.broadcast_to(jnp.arange(n)[:, None, None], (n, C, 4))
+        parf = par.reshape(-1)
+        # candidate-granular serial order: parent strategy rank, then the
+        # reference's cam-outer offset-inner generation order within the
+        # parent (mvs.cpp:535-549) — a parent's FIRST inserted child must
+        # be able to block its own later candidates, exactly as the serial
+        # loop's immediate insert does
+        sub = (cam * 4 + jnp.arange(4)[None, None, :]).astype(jnp.float32)
+        cord = orank[parf] * (4 * C + 1) + sub.reshape(-1)
+        payload = jnp.concatenate([
+            pc[parf], pn[parf],                               # 0:3, 3:6
+            cord[:, None],                                    # 6
+            cam.reshape(-1, 1).astype(jnp.float32),           # 7
+            pmask[parf].astype(jnp.float32),                  # 8:8+C
+        ], axis=-1)                                           # [m, 8+C]
+
+        # ---- route: all_gather, keep owned rows ----
+        gather = lambda x: jax.lax.all_gather(x, PATCH_AXIS, axis=0,
+                                              tiled=True)
+        g_pay = gather(payload)                               # [S*m, 8+C]
+        g_col = gather(ncx.reshape(-1))
+        g_row = gather(ncy.reshape(-1))
+        g_ok = gather(ok.reshape(-1))
+        owner = jnp.clip(g_col // slab_cols, 0, S - 1)
+        mine = g_ok & (owner == k)
+        lcol = jnp.clip(g_col - k * slab_cols, 0, slab_cols - 1)
+        camg = g_pay[:, 7].astype(jnp.int32)
+        comb = jnp.clip(camg * grid_h + g_row, 0, CGH - 1)
+
+        # ---- skipNeighborCell, all three clauses ----
+        skip, cnt_g = _skip_clauses(occ, ost, lcol, comb,
+                                    g_pay[:, 0:3], g_pay[:, 3:6], nr, cap,
+                                    float(cfg.min_correlation))
+        mine &= ~skip
+
+        # ---- intra-round per-cell budget in strategy order (the serial
+        # loop's cells fill as it pops parents; mvs.cpp:546-549 + 795) ----
+        g_ord = g_pay[:, 6]
+        cell_id = jnp.where(mine, lcol * CGH + comb, BIGCELL)
+        rank = _run_rank(cell_id, g_ord)
+        mine &= rank + cnt_g < cap
+
+        # ---- compact to the per-shard refine budget, strategy order ----
+        sel = jnp.argsort(jnp.where(mine, g_ord, jnp.inf), stable=True)[:R]
+        keep = mine[sel]
+        spilled = jax.lax.psum(jnp.sum(mine) - jnp.sum(keep), PATCH_AXIS)
+        rpay = g_pay[sel]
+        rcol = g_col[sel]
+        rrow = g_row[sel]
+        rcnt0 = cnt_g[sel]             # pre-round count at the target cell
+        rcam = rpay[:, 7].astype(jnp.int32)
+
+        # ---- candidate center: cell-center ray of the CANDIDATE'S view
+        # meeting the parent plane (mvs.cpp:809-836) ----
+        px = (rcol.astype(jnp.float32) + 0.5) * cell_size
+        py = (rrow.astype(jnp.float32) + 0.5) * cell_size
+        dirs = jax.vmap(lambda xy, c: geom.pixel_to_world_dir(
+            xy, rig.R[c], rig.center[c], rig.focal[c], rig.principal[c]))(
+            jnp.stack([px, py], -1), rcam)
+        new_center = geom.ray_plane_intersect(
+            rig.center[rcam], dirs, rpay[:, 0:3], rpay[:, 3:6])
+
+        # ---- viewing-cone camera set with the parent-mask fallback
+        # (patch.cpp:723-761) ----
+        facing = -rpay[:, 3:6] @ rig.optical.T                # [R, C]
+        mask = facing >= cfg.visible_correlation
+        lacking = jnp.sum(mask, -1) < cfg.min_cam_num
+        fallback = (rpay[:, 8:8 + C] > 0.5) & \
+            (facing >= cfg.visible_correlation / 2.0)
+        mask = jnp.where(lacking[:, None], mask | fallback, mask)
+
+        pb = jax.tree.map(jnp.asarray, patch_mod.empty_batch(R, C))
+        pb = pb.replace(
+            center=new_center.astype(jnp.float32),
+            normal_sph=geom.normal_to_spherical(rpay[:, 3:6]).astype(
+                jnp.float32),
+            cam_mask=mask,
+            valid=keep & jnp.all(jnp.isfinite(new_center), -1)
+                  & (jnp.sum(mask, -1) >= cfg.min_cam_num))
+        res = lc.refine_batch(scene, cfg, pb,
+                              jax.random.fold_in(key, k), nr, False, 1)
+        rb = res.batch
+        acc0 = rb.valid
+
+        # ---- insert-time re-check on the REFINED patches (host mirror:
+        # tg_batch_insert): density across every visible view's refined
+        # cell + intra-round ref-cell budget, in strategy order ----
+        def proj_new(Rc, Tc, fc, ppc):
+            return geom.project(rb.center, Rc, Tc, fc, ppc, 1.0)[0]
+        nipts = jax.vmap(proj_new, in_axes=(0, 0, 0, 0), out_axes=1)(
+            rig.R, rig.T, rig.focal, rig.principal)           # [R, C, 2]
+        nipts = jnp.where(jnp.isfinite(nipts), nipts, -1e6)
+        ncx2 = jnp.floor(nipts[..., 0] / cell_size).astype(jnp.int32)
+        ncy2 = jnp.floor(nipts[..., 1] / cell_size).astype(jnp.int32)
+        inm = (ncx2 >= 0) & (ncx2 < cam_cells[None, :, 0]) & \
+              (ncy2 >= 0) & (ncy2 < cam_cells[None, :, 1])
+        vis2 = rb.cam_mask & inm                              # [R, C]
+
+        refcx = jnp.take_along_axis(ncx2, rb.ref_cam[:, None], 1)[:, 0]
+        refcomb = jnp.clip(rb.ref_cam * grid_h
+                           + jnp.take_along_axis(
+                               ncy2, rb.ref_cam[:, None], 1)[:, 0],
+                           0, CGH - 1)
+
+        # gather the (small) per-row insert metadata to every shard
+        normal_new = geom.spherical_to_normal(rb.normal_sph)
+        st_new = jnp.concatenate(
+            [rb.center, normal_new, rb.correlation[:, None]], -1)  # [R, 7]
+        ocell = (rcol * C + rcam) * grid_h + rrow             # orig cand cell
+        a_cx = gather(ncx2)                                   # [S*R, C]
+        a_cy = gather(ncy2)
+        a_vis = gather(vis2)
+        a_ord = gather(rpay[:, 6])
+        a_acc = gather(acc0)
+        a_rcx = gather(refcx)
+        a_rcomb = gather(refcomb)
+        a_st = gather(st_new)
+        a_ocell = gather(ocell)
+        a_cnt0 = gather(rcnt0)
+        a_pc = gather(rpay[:, 0:3])
+        a_pn = gather(rpay[:, 3:6])
+
+        # density vote: each shard checks the cells it owns; a row is
+        # rejected when EVERY visible view's cell is at the cap
+        # (mvs.cpp:877-895 / _insert_time_cell_filter)
+        own2 = (jnp.clip(a_cx // slab_cols, 0, S - 1) == k) & a_vis
+        lcol2 = jnp.clip(a_cx - k * slab_cols, 0, slab_cols - 1)
+        comb2 = jnp.clip(jnp.arange(C)[None, :] * grid_h + a_cy, 0, CGH - 1)
+        full = own2 & (occ[lcol2, comb2] >= cap)
+        full_votes = jax.lax.psum(jnp.sum(full, -1), PATCH_AXIS)
+        nvis = jnp.sum(a_vis, -1)
+        dens_ok = (full_votes < nvis) | (nvis == 0)
+        base_ok = a_acc & dens_ok
+
+        # WITHIN-round skipNeighborCell: the serial loop's later candidates
+        # see this round's earlier inserts as cellmates — in EVERY visible
+        # view's cell the insert registers in (the host mirrors this in
+        # tg_batch_insert's live re-check). Sort-based cell join on the
+        # gathered arrays (replicated compute, identical verdicts on every
+        # shard): "insert" entries (row x visible refined cell) and
+        # "candidate" entries (row x original target cell) share one key
+        # space; each candidate checks the first ``cap`` inserts landing
+        # in its cell for strategy-order precedence + the correlation /
+        # isNeighbor clauses against the insert's REFINED state.
+        SR = a_ord.shape[0]
+        ins_key = jnp.where(a_vis & base_ok[:, None],
+                            (a_cx * C + jnp.arange(C)[None, :]) * grid_h
+                            + a_cy,
+                            BIGCELL).reshape(-1)
+        ins_ord = jnp.repeat(a_ord, C)
+        key_all = jnp.concatenate([ins_key, a_ocell])
+        tag_all = jnp.concatenate([jnp.zeros(SR * C, jnp.int32),
+                                   jnp.ones(SR, jnp.int32)])
+        ord_all = jnp.concatenate([ins_ord, a_ord])
+        st_all = jnp.concatenate(
+            [jnp.repeat(a_st, C, axis=0), jnp.zeros((SR, OCC_STATE_F))])
+        s_idx = jnp.lexsort((ord_all, tag_all, key_all))
+        key_s = key_all[s_idx]
+        idx = jnp.arange(key_s.shape[0])
+        same = jnp.concatenate([jnp.zeros(1, bool), key_s[1:] == key_s[:-1]])
+        start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(~same, idx, 0))
+        # candidate entries sit after their cell's ins entries in the sort;
+        # check the group's first ``cap`` entries (the earliest-order
+        # inserts in that cell)
+        inv = jnp.zeros_like(s_idx).at[s_idx].set(idx)
+        cand_sorted_pos = inv[SR * C:]                        # [SR]
+        blocked = jnp.zeros(SR, bool)
+        n_before = jnp.zeros(SR, jnp.int32)
+        own_start = start[cand_sorted_pos]
+        own_key = a_ocell
+        for j in range(cap):
+            e = jnp.clip(own_start + j, 0, key_s.shape[0] - 1)
+            se = s_idx[e]
+            is_ins = (se < SR * C) & (key_all[se] == own_key) \
+                & (ord_all[se] < a_ord)
+            n_before += is_ins.astype(jnp.int32)
+            st_e = st_all[se]
+            corr_hit = st_e[:, 6] > cfg.min_correlation
+            d = st_e[:, 0:3] - a_pc
+            nb_hit = (jnp.abs(jnp.sum(d * a_pn, -1))
+                      + jnp.abs(jnp.sum(d * st_e[:, 3:6], -1))) <= nr
+            blocked |= is_ins & (corr_hit | nb_hit)
+        # density clause against the LIVE count: pre-round occupancy plus
+        # this round's earlier inserts into the candidate's target cell
+        blocked |= a_cnt0 + n_before >= cap
+        base_ok &= ~blocked
+
+        # intra-round budget at the refined reference cell, strategy order
+        own_r = (jnp.clip(a_rcx // slab_cols, 0, S - 1) == k) & base_ok
+        lcol_r = jnp.clip(a_rcx - k * slab_cols, 0, slab_cols - 1)
+        cell_r = jnp.where(own_r, lcol_r * CGH + a_rcomb, BIGCELL)
+        rank_r = _run_rank(cell_r, a_ord)
+        ok_r = own_r & (rank_r + occ[lcol_r, a_rcomb] < cap)
+        vote_r = jax.lax.psum(ok_r.astype(jnp.int32), PATCH_AXIS)
+        acc_all = base_ok & (vote_r > 0)                      # [S*R]
+        acc = jax.lax.dynamic_slice_in_dim(acc_all, k * R, R)
+
+        # ---- occupancy update: register every accepted patch in EVERY
+        # visible view's cell (CellMap::insert semantics; cells may exceed
+        # the cap post-insert — the cap gates candidates, not storage) ----
+        upd = own2 & acc_all[:, None]                         # [S*R, C]
+        updf = upd.reshape(-1)
+        lcolf = lcol2.reshape(-1)
+        combf = comb2.reshape(-1)
+        cellf = jnp.where(updf, lcolf * CGH + combf, BIGCELL)
+        ordf = jnp.repeat(a_ord, C)
+        rankf = _run_rank(cellf, ordf)
+        slot = occ[lcolf, combf] + rankf
+        slot = jnp.where(updf & (slot < cap), slot, cap)      # cap = dropped
+        stf = jnp.repeat(a_st, C, axis=0)                     # [S*R*C, 7]
+        ost2 = ost.at[lcolf, combf, slot].set(stf, mode="drop")
+        occ2 = occ.at[lcolf, combf].add(updf.astype(occ.dtype))
+        return rb, acc, occ2, ost2, spilled[None]
+
+    from pais_mvs_tpu.models import patch as patch_mod2
+    spec_pb = jax.tree.map(lambda _: P(PATCH_AXIS),
+                           patch_mod2.empty_batch(1, C))
+
+    def wrapper(scene, *args):
+        scene_spec = jax.tree.map(lambda _: P(), scene)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(scene_spec, P(PATCH_AXIS), P(PATCH_AXIS),
+                      P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
+                      P(PATCH_AXIS), P(PATCH_AXIS), P(), P(), P()),
+            out_specs=(spec_pb, P(PATCH_AXIS), P(PATCH_AXIS),
+                       P(PATCH_AXIS), P()),
+            check_vma=False)
+        return f(scene, *args)
+
+    return jax.jit(wrapper)
+
+
+def expand_step(scene, cfg, centers, normals, order_rank, valid,
+                parent_cam_mask, occ_cnt, occ_state, cam_cells,
+                neighbor_radius, key, mesh: Mesh, slab_cols: int,
+                grid_h: int, cap_per: int, refine_budget: int):
+    """One COMPLETE distributed expansion round (see module docstring).
+
+    Global shapes (patch-axis sharded unless noted): centers/normals
+    [N, 3], order_rank [N] f32 strategy-order positions, valid [N],
+    parent_cam_mask [N, C]; occ_cnt [S*slab_cols, C*grid_h] i32 and
+    occ_state [S*slab_cols, C*grid_h, cap_per, 7] f32 sharded on axis 0;
+    cam_cells [C, 2] i32 per-camera grid (w, h) in cells, replicated.
+
+    Returns (refined PatchBatch [S*refine_budget rows, sharded],
+    accepted [S*refine_budget] bool, new occ_cnt, new occ_state,
+    spilled [1] i32 — candidates dropped by the refine budget).
+    """
+    C = scene.rig.num_cameras
+    fn = _expand_step_fn(cfg, mesh, slab_cols, occ_cnt.shape[0], grid_h,
+                         cap_per, cfg.cell_size, C, refine_budget)
+    return fn(scene, centers, normals, order_rank, valid, parent_cam_mask,
+              occ_cnt, occ_state, cam_cells,
+              jnp.float32(neighbor_radius), key)
+
+
+def build_occupancy(arena, cell_size: int, cam_cells: np.ndarray,
+                    slab_cols: int, S: int, grid_h: int, cap: int):
+    """Host-side occupancy (count + state) grids from the live arena,
+    registering each patch in EVERY visible view's cell like the
+    reference's per-camera CellMaps (mvs.cpp:74-87). Vectorized numpy.
+
+    Returns (occ_cnt [S*slab_cols, C*grid_h] i32,
+             occ_state [S*slab_cols, C*grid_h, cap, 7] f32)."""
+    C = cam_cells.shape[0]
+    grid_w = S * slab_cols
+    CGH = C * grid_h
+    occ = np.zeros((grid_w, CGH), np.int32)
+    ost = np.zeros((grid_w, CGH, cap, OCC_STATE_F), np.float32)
+    ids = arena.live_ids()
+    if len(ids) == 0:
+        return occ, ost
+    cm = arena.data["cam_mask"][ids]                          # [L, C]
+    ip = arena.data["img_point"][ids]                         # [L, C, 2]
+    i_idx, c_idx = np.nonzero(cm)
+    cx = np.floor(ip[i_idx, c_idx, 0] / cell_size).astype(np.int64)
+    cy = np.floor(ip[i_idx, c_idx, 1] / cell_size).astype(np.int64)
+    inb = ((cx >= 0) & (cx < np.minimum(cam_cells[c_idx, 0], grid_w)) &
+           (cy >= 0) & (cy < cam_cells[c_idx, 1]))
+    i_idx, c_idx, cx, cy = i_idx[inb], c_idx[inb], cx[inb], cy[inb]
+    comb = c_idx * grid_h + cy
+    np.add.at(occ, (cx, comb), 1)
+    # state slots: rank within each cell (stable insertion order by
+    # arena id, like the reference's push_back)
+    lin = cx * CGH + comb
+    order = np.argsort(lin, kind="stable")
+    lin_s = lin[order]
+    starts = np.r_[0, np.nonzero(lin_s[1:] != lin_s[:-1])[0] + 1]
+    rank = np.arange(len(lin_s)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(lin_s)]))
+    sel = rank < cap
+    rows = order[sel]
+    ctr = arena.data["center"][ids]
+    nrm = arena.normals(ids)
+    corr = arena.data["correlation"][ids]
+    st = np.concatenate([ctr, nrm, corr[:, None]], -1).astype(np.float32)
+    ost[cx[rows], comb[rows], rank[sel]] = st[i_idx[rows]]
+    return occ, ost

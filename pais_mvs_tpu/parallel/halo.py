@@ -20,6 +20,13 @@ All shapes are static: each shard emits up to ``cap`` candidates per
 direction, masked. Overflow drops the lowest-priority candidates, which is
 the distributed analog of the reference's density cap (maxCellPatchNum,
 mvs.cpp:795) applied early.
+
+NOTE: the production distributed-expansion step lives in
+``parallel/expansion.py`` — multi-view candidates can land arbitrarily far
+across the grid, which the +-1 ring cannot carry, so it routes via
+all_gather. The ring primitives here remain the right tool for
+single-view, locality-bounded exchanges (and are exercised by
+tests/test_halo.py).
 """
 
 from __future__ import annotations
@@ -213,160 +220,3 @@ def sharded_expansion_round(centers, normals, img_xy, priority, valid,
                    P(PATCH_AXIS)),
         check_vma=False)
     return f(centers, normals, img_xy, priority, valid, occupancy)
-
-
-def sharded_expand_step(scene, cfg, centers, normals, img_xy, priority,
-                        valid, ref_cam, parent_cam_mask, occupancy,
-                        neighbor_radius, key, mesh: Mesh, slab_cols: int,
-                        grid_h: int, cap_per: int = 2):
-    """One COMPLETE distributed expansion step inside a single shard_map:
-    4-neighbour candidate generation -> ppermute halo routing -> per-cell
-    density dedupe -> ray/plane candidate centers (mvs.cpp:809-836) ->
-    viewing-cone camera sets (patch.cpp:723-761) -> full batched refine
-    (PSO + NCC pruning + runtime filter) -> occupancy scatter of the
-    accepted patches.
-
-    Simplification vs the host engine (documented): each patch expands over
-    its REFERENCE view's cell grid only (the host path walks every visible
-    view's grid); ownership is by reference-view cell column.
-
-    Global shapes (patch-axis sharded unless noted): centers/normals [N,3],
-    img_xy [N,2] (reference-view pixels), priority/valid/ref_cam [N],
-    parent_cam_mask [N,C], occupancy [S*slab_cols, C*grid_h] int32 (sharded
-    on axis 0; rows are PER-CAMERA, cam*grid_h + cell_row — one CellMap per
-    camera like the reference, mvs.cpp:74-87); neighbor_radius f32 scalar
-    and key replicated.
-
-    Returns (refined PatchBatch [12N rows, sharded], accepted [12N],
-    new_occupancy, spilled [1] int) — accepted rows are refined patches
-    that passed both the density dedupe and runtime filtering; ``spilled``
-    counts accepted patches whose refined cell lies beyond the +-1 ring
-    (their occupancy increments are dropped; ADVICE r1).
-    """
-    from pais_mvs_tpu.models import patch as patch_mod
-
-    C = scene.rig.num_cameras
-    fn = _expand_step_fn(cfg, mesh, slab_cols, occupancy.shape[0], grid_h,
-                         cap_per, cfg.cell_size, C)
-    return fn(scene, centers, normals, img_xy, priority, valid, ref_cam,
-              parent_cam_mask, occupancy,
-              jnp.float32(neighbor_radius), key)
-
-
-@functools.lru_cache(maxsize=32)
-def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap_per,
-                    cell_size, C):
-    """Build + cache the jitted shard_map for sharded_expand_step (a fresh
-    closure per call would recompile every time)."""
-    from pais_mvs_tpu.models import patch as patch_mod
-    from pais_mvs_tpu.models.camera import Scene
-    from pais_mvs_tpu.ops import geometry as geom
-    from pais_mvs_tpu.ops import lifecycle as lc
-
-    def body(scene, centers, normals, img_xy, priority, valid, ref_cam,
-             parent_cam_mask, occ, neighbor_radius, key):
-        rig = scene.rig
-        k = jax.lax.axis_index(PATCH_AXIS)
-        ncx, ncy, parent, ok = expansion_candidates_local(
-            img_xy[:, 0], img_xy[:, 1], priority, valid, grid_w, cell_size)
-        ok &= ncy < grid_h
-        # occupancy is PER CAMERA ([slab_cols, C*grid_h] per shard): the
-        # combined row index cam*grid_h + row keeps two patches whose
-        # DIFFERENT reference cameras share a (cx, cy) from colliding in
-        # one density counter (the reference keeps one CellMap per camera,
-        # mvs.cpp:74-87)
-        comb = ref_cam[parent] * grid_h + ncy
-        payload = jnp.concatenate([
-            centers[parent], normals[parent], priority[parent][:, None],
-            comb[:, None].astype(centers.dtype),
-            ref_cam[parent][:, None].astype(centers.dtype),
-            parent_cam_mask[parent].astype(centers.dtype)], axis=-1)
-        routed = halo_route(payload, ncx, ok, slab_cols,
-                            order=priority[parent])
-        accept, comb_row = _dedupe_against_occupancy(
-            routed, occ, k, slab_cols, C * grid_h, cap_per,
-            pri_col=6, row_col=7)
-        row = comb_row % grid_h
-
-        # candidate center: reference-view cell-center pixel ray meeting
-        # the parent plane (MVS::getExpansionPatchCenter, mvs.cpp:809-836)
-        p_center = routed.payload[:, 0:3]
-        p_normal = routed.payload[:, 3:6]
-        rcam = routed.payload[:, 8].astype(jnp.int32)
-        p_mask = routed.payload[:, 9:9 + C] > 0.5
-        px = (routed.col.astype(jnp.float32) + 0.5) * cell_size
-        py = (row.astype(jnp.float32) + 0.5) * cell_size
-        pix = jnp.stack([px, py], -1)
-        d = jax.vmap(lambda xy, c: geom.pixel_to_world_dir(
-            xy, rig.R[c], rig.center[c], rig.focal[c], rig.principal[c]))(
-            pix, rcam)
-        new_center = geom.ray_plane_intersect(
-            rig.center[rcam], d, p_center, p_normal)
-
-        # viewing-cone camera set with the parent-fallback clause
-        facing = -p_normal @ rig.optical.T                     # [R, C]
-        mask = facing >= cfg.visible_correlation
-        lacking = jnp.sum(mask, -1) < cfg.min_cam_num
-        fallback = p_mask & (facing >= cfg.visible_correlation / 2.0)
-        mask = jnp.where(lacking[:, None], mask | fallback, mask)
-
-        R_rows = new_center.shape[0]
-        pb = patch_mod.empty_batch(R_rows, C)
-        pb = jax.tree.map(jnp.asarray, pb)
-        pb = pb.replace(
-            center=new_center.astype(jnp.float32),
-            normal_sph=geom.normal_to_spherical(p_normal).astype(
-                jnp.float32),
-            cam_mask=mask,
-            valid=accept & jnp.all(jnp.isfinite(new_center), -1)
-                  & (jnp.sum(mask, -1) >= cfg.min_cam_num))
-        kk = jax.random.fold_in(key, k)
-        res = lc.refine_batch(scene, cfg, pb, kk, neighbor_radius,
-                              False, 1)
-        accepted = res.batch.valid
-
-        # occupancy scatter of the survivors at their REFINED cell (refine
-        # recomputes ref_cam/img_point and the patch can shift a cell):
-        # increments halo-route to the owning shard like the candidates
-        # did. Cells more than one slab away (a ref-camera switch across
-        # the grid — rare) are dropped by the ring exchange; the psum'd
-        # ``spilled`` count makes that drop observable instead of silent
-        # (the bounded undercount only makes the density cap slightly
-        # more permissive).
-        rb = res.batch
-        ref_ip = jnp.take_along_axis(
-            rb.img_point, rb.ref_cam[:, None, None].repeat(2, -1),
-            axis=1)[:, 0]
-        fcol = jnp.clip((ref_ip[:, 0] / cell_size).astype(jnp.int32),
-                        0, grid_w - 1)
-        fcomb = jnp.clip(rb.ref_cam * grid_h
-                         + (ref_ip[:, 1] / cell_size).astype(jnp.int32),
-                         0, C * grid_h - 1)
-        n_shards = jax.lax.axis_size(PATCH_AXIS)
-        owner = jnp.clip(fcol // slab_cols, 0, n_shards - 1)
-        spilled = jax.lax.psum(
-            jnp.sum((jnp.abs(owner - k) > 1) & accepted), PATCH_AXIS)
-        inc = halo_route(fcomb[:, None].astype(jnp.float32),
-                         fcol, accepted, slab_cols)
-        ilcol = jnp.clip(inc.col - k * slab_cols, 0, slab_cols - 1)
-        irow = jnp.clip(inc.payload[:, 0].astype(jnp.int32),
-                        0, C * grid_h - 1)
-        occ2 = occ.at[ilcol, irow].add(inc.valid.astype(occ.dtype))
-        return res.batch, accepted, occ2, spilled[None]
-
-    spec_pb = jax.tree.map(lambda _: P(PATCH_AXIS),
-                           patch_mod.empty_batch(1, C))
-
-    def wrapper(scene, *args):
-        scene_spec = jax.tree.map(lambda _: P(), scene)
-        f = jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(scene_spec, P(PATCH_AXIS), P(PATCH_AXIS),
-                      P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
-                      P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
-                      P(), P()),
-            out_specs=(spec_pb, P(PATCH_AXIS), P(PATCH_AXIS), P()),
-            check_vma=False)
-        return f(scene, *args)
-
-    return jax.jit(wrapper)

@@ -1,0 +1,93 @@
+"""Shared problem definition for the multi-process distributed test:
+the SAME code runs in the 2-process workers (over the cross-process global
+mesh) and in the single-process reference (8 local devices), so any result
+difference isolates the process boundary itself."""
+
+import numpy as np
+
+
+def build_problem():
+    """Deterministic scene + frontier packing, identical in every process."""
+    import jax
+    import jax.numpy as jnp
+    from pais_mvs_tpu.config import MvsConfig
+    from pais_mvs_tpu.data.synthetic import make_scene
+    from pais_mvs_tpu.models import patch as patch_mod
+    from pais_mvs_tpu.models.camera import build_scene
+    from pais_mvs_tpu.ops import geometry as geom
+    from pais_mvs_tpu.ops import lifecycle as lc
+    from pais_mvs_tpu.parallel.mesh import make_mesh
+
+    S = 8
+    cfg = MvsConfig(patch_radius=4, max_lod=3, particle_num=6,
+                    max_iteration=6, dist_weighting=4 / 3.0, cell_size=10,
+                    visible_correlation=0.7, min_cam_num=3,
+                    fitness_backend="jnp")
+    sc = make_scene(num_cams=4, width=160, height=120, num_seeds=64, seed=5)
+    scene = build_scene(sc.params, sc.images, cfg)
+    C = 4
+
+    # make_scene can yield fewer visible seeds than requested — clip to a
+    # multiple of the mesh size so the patch axis shards evenly
+    B = (len(sc.seed_centers) // S) * S
+    pb = patch_mod.from_seeds(sc.seed_centers[:B], sc.seed_cam_masks[:B],
+                              sc.seed_img_points[:B])
+    pb = lc.prepare_seeds(scene, cfg, pb)
+    pb = jax.device_get(pb)
+
+    cam_cells = np.stack(
+        [np.asarray([-(-160 // cfg.cell_size)] * C, np.int32),
+         np.asarray([-(-120 // cfg.cell_size)] * C, np.int32)], -1)
+    gh = int(cam_cells[:, 1].max())
+    slab = max(1, -(-int(cam_cells[:, 0].max()) // S))
+    return dict(cfg=cfg, scene=scene, pb=pb, cam_cells=cam_cells,
+                gh=gh, slab=slab, S=S, C=C, mesh_fn=lambda: make_mesh((S, 1)))
+
+
+def run_sharded(prob, mesh, to_global):
+    """(a) patch-sharded refine over the mesh; (b) one expand_step round
+    from the refined frontier. Returns name -> GLOBAL jax array."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from pais_mvs_tpu.ops import geometry as geom
+    from pais_mvs_tpu.ops import lifecycle as lc
+    from pais_mvs_tpu.parallel.expansion import expand_step, OCC_STATE_F
+    from pais_mvs_tpu.parallel.mesh import PATCH_AXIS
+
+    cfg, scene, pb = prob["cfg"], prob["scene"], prob["pb"]
+    S, C, gh, slab = prob["S"], prob["C"], prob["gh"], prob["slab"]
+
+    pb_g = jax.tree.map(to_global, pb)
+    spec = jax.tree.map(lambda _: P(PATCH_AXIS), pb)
+
+    def body(pbs, nr):
+        k = jax.random.fold_in(jax.random.PRNGKey(0),
+                               jax.lax.axis_index(PATCH_AXIS))
+        return lc.refine_batch(scene, cfg, pbs, k, nr, True, 1)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, P()),
+        out_specs=lc.RefineResult(spec, P(PATCH_AXIS)), check_vma=False))
+    res = fn(pb_g, jnp.float32(0.01))
+    rb = res.batch
+
+    # frontier packing from the refined batch (deterministic, replicated):
+    # identity packing — row t of the refine output is parent t
+    per = rb.center.shape[0] // S
+    normals = geom.spherical_to_normal(rb.normal_sph)
+    orank = jnp.arange(rb.center.shape[0], dtype=jnp.float32)
+
+    occ = to_global(np.zeros((S * slab, C * gh), np.int32))
+    ost = to_global(np.zeros((S * slab, C * gh, 2, OCC_STATE_F), np.float32))
+    out_pb, accepted, occ2, ost2, spilled = expand_step(
+        scene, cfg, rb.center, normals, orank, rb.valid, rb.cam_mask,
+        occ, ost, jnp.asarray(prob["cam_cells"]), 0.01,
+        jax.random.PRNGKey(1), mesh, slab, gh, cap_per=2, refine_budget=32)
+
+    return {
+        "refined_center": rb.center, "refined_valid": res.batch.valid,
+        "refined_fitness": rb.fitness,
+        "exp_center": out_pb.center, "exp_accepted": accepted,
+        "occ2": occ2,
+    }

@@ -33,6 +33,28 @@ def disk_scene(tmp_path_factory):
     return d, sc
 
 
+def test_cli_seedless_nvm_e2e(tmp_path, monkeypatch):
+    """A ZERO-point NVM must flow through the feature-seeding fallback
+    (reference FeatureManager, TMVS.cpp:98-103) into a full reconstruction
+    meeting the surface-quality gate — the last untested CLI branch."""
+    from PIL import Image
+    sc = make_scene(num_cams=4, width=240, height=180, num_seeds=10, seed=5)
+    for p, img in zip(sc.params, sc.images):
+        Image.fromarray(img).save(str(tmp_path / p.file_name))
+    save_nvm(str(tmp_path / "scene.nvm"), sc.params, np.zeros((0, 3)),
+             np.zeros((0, 3)), np.zeros((0, 4), bool), np.zeros((0, 4, 2)))
+    (tmp_path / "config.txt").write_text(
+        "patchRadius 5\nmaxLOD 3\nparticleNum 8\nmaxIteration 10\n"
+        "distWeighting 1.6667\nseedRefineRounds 1\nminCamNum 3\n")
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["-r", "scene.nvm", "-o", str(tmp_path)])
+    assert rc == 0
+    f = mvsbin.read_mvs(str(tmp_path / "exp.mvs"))
+    assert len(f.patches.centers) > 1000, len(f.patches.centers)
+    d = sc.surface_distance(f.patches.centers)
+    assert np.median(d) < 0.01, float(np.median(d))
+
+
 def test_cli_full_flow(disk_scene, monkeypatch):
     d, sc = disk_scene
     monkeypatch.chdir(d)          # config.txt + image paths resolve from cwd

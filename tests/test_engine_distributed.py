@@ -1,5 +1,7 @@
 """Engine-level distributed expansion (expand_distributed): the SPMD
-cell-slab path must grow the cloud on the ground-truth surface."""
+cell-slab path must grow the cloud on the ground-truth surface AND match
+the serial reference-semantics oracle's cloud (full skipNeighborCell,
+all-view candidates — parity with the host path's guarantees)."""
 
 import numpy as np
 import pytest
@@ -31,3 +33,44 @@ def test_expand_distributed_grows_surface():
     # the new patches carry full derived state for the filters/writers
     assert rec.cell_filtering() >= 0
     rec.write_ply("/dev/null")
+
+
+def test_expand_distributed_matches_serial_oracle():
+    """Cloud parity of the SPMD expansion vs the serial reference-semantics
+    oracle (mirror of tests/test_oracle_cloud_parity.py for the distributed
+    path — VERDICT r2 gated this path only on median surface distance)."""
+    from pais_mvs_tpu.oracle import OraclePipeline, cloud_agreement
+
+    cfg = MvsConfig(patch_radius=4, max_lod=3, particle_num=6,
+                    max_iteration=8, dist_weighting=4 / 3.0, cell_size=10,
+                    min_cam_num=3, max_cell_patch_num=2,
+                    neighbor_radius_scalar=0.08, batch_size=64,
+                    seed_refine_rounds=1)
+    sc = make_scene(num_cams=4, width=200, height=150, num_seeds=25, seed=3)
+
+    orc = OraclePipeline(sc.params, sc.images, cfg, seed=0)
+    orc.load_seeds(sc.seed_centers, sc.seed_cam_masks, sc.seed_img_points)
+    orc.refine_seeds()
+    orc.expand(max_patches=3000)
+    opts = orc.cloud()
+    assert len(opts) > 150, "oracle reconstruction degenerate"
+
+    rec = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+    rec.load_seeds(sc.seed_centers, sc.seed_cam_masks, sc.seed_img_points,
+                   np.full((len(sc.seed_centers), 3), 128.0))
+    rec.refine_seeds()
+    rec.expand_distributed(mesh=make_mesh((8, 1)), max_rounds=64,
+                           per_shard=32)
+    epts = rec.live_centers()
+
+    assert np.median(sc.surface_distance(opts)) < 0.005
+    assert np.median(sc.surface_distance(epts)) < 0.005
+
+    depth = float(np.linalg.norm(sc.seed_centers.mean(0)
+                                 - rec.np_center.mean(0)))
+    half_cell = 0.5 * cfg.cell_size * depth / float(rec.np_focal[0, 0])
+    ag = cloud_agreement(epts, opts, half_cell)
+    assert ag["engine_within_tol"] >= 0.90, ag
+    assert ag["oracle_within_tol"] >= 0.90, ag
+    ratio = ag["engine_count"] / ag["oracle_count"]
+    assert 0.75 <= ratio <= 1.33, ag

@@ -1,0 +1,92 @@
+"""REAL multi-process distributed execution: 2 local processes x 4 CPU
+devices each, joined by jax.distributed into one 8-device global mesh
+(DCN-style process boundary), running the patch-sharded refine and one
+full distributed expansion round. Results must match the single-process
+8-device run bit-for-bit — the same code runs in both topologies
+(tests/mp_common.py), so any difference isolates the process boundary.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _stitch(prefix, nproc, names):
+    full = {}
+    for name in names:
+        parts = []
+        for pid in range(nproc):
+            d = np.load(f"{prefix}-{pid}.npz")
+            parts.append((d[name + "_rows"][0], d[name]))
+        parts.sort(key=lambda t: t[0])
+        full[name] = np.concatenate([p[1] for p in parts])
+    return full
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process(tmp_path):
+    port = _free_port()
+    prefix = str(tmp_path / "mp")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)          # workers set their own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), prefix],
+        env=env, cwd="/root/repo",
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+
+    names = ["refined_center", "refined_valid", "refined_fitness",
+             "exp_center", "exp_accepted", "occ2"]
+    mp = _stitch(prefix, 2, names)
+
+    # single-process reference on this test process's 8 virtual devices
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tests.mp_common import build_problem, run_sharded
+    prob = build_problem()
+    mesh = prob["mesh_fn"]()
+
+    def to_global(x):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P("patch", *([None] * (x.ndim - 1))))
+        return jax.device_put(x, sh)
+
+    ref = {k: np.asarray(v)
+           for k, v in run_sharded(prob, mesh, to_global).items()}
+
+    assert (mp["refined_valid"] == ref["refined_valid"]).all()
+    assert (mp["exp_accepted"] == ref["exp_accepted"]).all()
+    assert (mp["occ2"] == ref["occ2"]).all()
+    np.testing.assert_allclose(mp["refined_center"], ref["refined_center"],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(mp["exp_center"], ref["exp_center"],
+                               rtol=0, atol=0)
+    # sanity: the run did real work
+    assert ref["refined_valid"].sum() > 30
+    assert ref["exp_accepted"].sum() > 5

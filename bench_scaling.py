@@ -169,8 +169,9 @@ def _view_sharded_curve(per_dev: int):
 
 
 def _distributed_expansion_curve(per_dev: int):
-    """Multi-round sharded_expand_step: the full SPMD expansion path
-    (candidates -> ppermute halo -> per-camera dedupe -> refine)."""
+    """Multi-round parallel.expansion.expand_step: the full SPMD expansion
+    path (all-view candidates -> all_gather routing -> three-clause
+    skipNeighborCell -> refine -> insert-time re-check)."""
     import jax
     import jax.numpy as jnp
     from pais_mvs_tpu.config import MvsConfig
@@ -203,19 +204,139 @@ def _distributed_expansion_curve(per_dev: int):
         rps = inserted / dt if dt > 0 else 0.0
         if base is None:
             base = max(rps, 1e-9)
-        # ppermute traffic per round per shard: candidate payload rows
-        # (2 directions x 4*per_shard rows x (9 + C) f32) + occupancy
-        # increments (2 x rows x 2 f32)
+        # all_gather traffic per round per shard: candidate payload rows
+        # (S x 4*per_shard*C rows x (8 + C) f32 + cols/rows/flags) plus the
+        # insert-metadata gather (S x refine_budget x ~(3C + 12) f32)
         Ccams = 4
-        halo_bytes = 2 * 4 * per_shard * (9 + Ccams) * 4 \
-            + 2 * 12 * per_shard * 2 * 4
+        gather_bytes = n * 4 * per_shard * Ccams * (11 + Ccams) * 4 \
+            + n * 8 * per_shard * (3 * Ccams + 12) * 4
         print(json.dumps({
             "metric": "distributed expansion", "devices": n,
             "rounds": rounds, "inserted": int(inserted),
             "value": round(rps, 2), "unit": "accepted patches/s",
             "scaling_efficiency": round(rps / (base * n), 3),
-            "ppermute_bytes_per_round_per_shard": halo_bytes}))
+            "allgather_bytes_per_round_per_shard": gather_bytes}))
+
+
+def _multiprocess(per_dev: int):
+    """--multiprocess: spawn jax.distributed worker PROCESSES on the CPU
+    backend (4 virtual devices each) and measure the patch-dp refine over
+    the joined global mesh, vs a 1-process run with the same total device
+    count. On one machine this exercises the DCN-style process boundary
+    (gloo collectives, cross-process global arrays); on a real pod the
+    same flags measure true multi-host scaling."""
+    import socket
+    import subprocess
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    here = os.path.abspath(__file__)
+    results = {}
+    for nproc, per_proc in ((1, 8), (2, 4)):
+        port = free_port()
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(here) + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        env.pop("XLA_FLAGS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, here, "--mp-worker", str(pid), str(nproc),
+             str(per_proc), str(port), str(per_dev)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for pid in range(nproc)]
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            if p.returncode != 0:
+                print(out[-2000:], file=sys.stderr)
+                raise SystemExit("multiprocess worker failed")
+        for line in outs[0].splitlines():
+            if line.startswith("MPRESULT "):
+                results[nproc] = json.loads(line[len("MPRESULT "):])
+    eff = results[2]["value"] / max(results[1]["value"], 1e-9)
+    print(json.dumps({
+        "metric": "multi-process dp-refine (2 procs x 4 CPU devs vs "
+                  "1 proc x 8)",
+        "value": results[2]["value"], "unit": "patches/s",
+        "single_process": results[1]["value"],
+        "scaling_efficiency_vs_1proc": round(eff, 3)}))
+
+
+def _mp_worker(pid: int, nproc: int, per_proc: int, port: int,
+               per_dev: int):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", per_proc)
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    if nproc > 1:
+        from pais_mvs_tpu.parallel.distributed import init_distributed
+        assert init_distributed(f"localhost:{port}", nproc, pid)
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from pais_mvs_tpu.config import MvsConfig
+    from pais_mvs_tpu.data.synthetic import make_scene
+    from pais_mvs_tpu.models import patch as patch_mod
+    from pais_mvs_tpu.models.camera import build_scene
+    from pais_mvs_tpu.ops import lifecycle as lc
+
+    devices = jax.devices()
+    n = len(devices)
+    B = per_dev * n
+    cfg = MvsConfig(particle_num=15, max_iteration=30, dist_weighting=5.0,
+                    max_lod=6, batch_size=B, fitness_backend="jnp")
+    sc = make_scene(num_cams=5, width=640, height=480, num_seeds=B + 64,
+                    seed=0)
+    scene = build_scene(sc.params, sc.images, cfg)
+    rng = np.random.default_rng(0)
+    centers = sc.seed_centers[:B] + rng.normal(scale=0.01, size=(B, 3))
+    pb = patch_mod.from_seeds(centers, sc.seed_cam_masks[:B],
+                              sc.seed_img_points[:B])
+    pb = jax.device_get(lc.prepare_seeds(scene, cfg, pb))
+    mesh = Mesh(np.array(devices), ("dp",))
+
+    def to_global(x):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+        return jax.make_array_from_callback(x.shape, sh, lambda i: x[i])
+
+    pb_g = jax.tree.map(to_global, pb)
+
+    def body(pbs, k):
+        kk = jax.random.fold_in(k, jax.lax.axis_index("dp"))
+        return lc.refine_batch(scene, cfg, pbs, kk, jnp.float32(0.005),
+                               True, 1)
+
+    spec = jax.tree.map(lambda _: P("dp"), pb)
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, P()),
+        out_specs=lc.RefineResult(spec, P("dp")), check_vma=False))
+    res = f(pb_g, jax.random.PRNGKey(0))
+    jax.block_until_ready(res.batch.fitness)
+    t0 = time.time()
+    reps = 2
+    for i in range(reps):
+        res = f(pb_g, jax.random.PRNGKey(i))
+    jax.block_until_ready(res.batch.fitness)
+    dt = time.time() - t0
+    if pid == 0:
+        print("MPRESULT " + json.dumps({
+            "processes": nproc, "devices": n * nproc // max(nproc, 1) * 1,
+            "value": round(B * reps / dt, 2), "unit": "patches/s"}))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--mp-worker":
+        _mp_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+                   int(sys.argv[5]), int(sys.argv[6]))
+    elif "--multiprocess" in sys.argv:
+        per_dev = int(os.environ.get("BENCH_PER_DEVICE", "128"))
+        _multiprocess(per_dev)
+    else:
+        main()

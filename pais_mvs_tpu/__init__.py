@@ -34,6 +34,20 @@ try:
 except AttributeError:          # future jax renames: fail open
     pass
 
+# Honor JAX_PLATFORMS even under the axon plugin, whose sitecustomize
+# imports jax at interpreter startup and overrides the env var. A config
+# update still wins until the first backend query — and this package's
+# module-level jnp constants would otherwise BE that first query, hanging
+# a CPU-pinned run on TPU-tunnel discovery whenever the tunnel is down.
+import os as _os
+
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 from pais_mvs_tpu.config import MvsConfig, load_config_txt
 
 __version__ = "0.1.0"

@@ -808,6 +808,15 @@ def patch_fitness_pallas(scene: Scene, cfg: MvsConfig,
     radius + margin. Box origins are tile-aligned (rows 8, cols 128), so
     the DMA'd slab is [KY, KX] with KY >= 2*cover+7 and KX >= 2*cover+127.
     """
+    # static radius ceiling: one particle's stretched warp span must fit
+    # the 128-wide block slice or near-grazing hypotheses get falsely
+    # BIG-fated (the r2 clipping bug class). 2.6x stretch covers the p100
+    # corner-measured span on the pawn rig; beyond r=23 the premise breaks,
+    # so delegate to the dense jnp reference (same contract) instead of
+    # silently degrading. Static in cfg -> resolved at trace time.
+    if STRETCH * (2 * cfg.patch_radius + 1) > 128.0:
+        return F.patch_fitness(scene, cfg, ref_cam, cam_mask, lod, ray,
+                               pos, active=active)
     rig, pyrs = scene.rig, scene.pyramids
     B, P, _ = pos.shape
     # depth-sort the particles so each kernel block's warped centers

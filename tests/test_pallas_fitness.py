@@ -110,3 +110,17 @@ def test_pallas_active_mask_skips_cells(problem, tiny_cfg):
     act = np.asarray(active)
     np.testing.assert_array_equal(part[act], full[act])
     assert np.all(np.isfinite(full))
+
+
+def test_large_radius_delegates_to_jnp(problem, tiny_cfg):
+    """patch_radius beyond the 128-lane slice ceiling (2.6*(2r+1) > 128,
+    i.e. r >= 24) must route to the dense jnp reference instead of
+    silently BIG-clipping near-grazing windows (VERDICT r2 weak #3)."""
+    scene, ref, cm, lod, rays, pos = problem
+    cfg = tiny_cfg.replace(patch_radius=25)
+    a = np.asarray(F.patch_fitness(scene, cfg, ref, cm, lod, rays, pos))
+    b = np.asarray(patch_fitness_pallas(scene, cfg, ref, cm, lod, rays,
+                                        pos))
+    # the guard is static delegation -> bit-identical, windows included
+    np.testing.assert_array_equal(a, b)
+    assert (a < 1e20).sum() > 0

@@ -349,6 +349,85 @@ def main():
         fm, _ = run_grid(body_m)
         timeit(f"M v2 unrolled KS={ks} PB={pb} NB={nb}", fm, box)
 
+    # ---- N: SHIPPED wide body: KS=128 contract_x, reduce over KY=80 ----
+    # (what _bilinear_block picks for KS >= KY; baseline for O/P/Q)
+    def make_wide(reduce_mm=False, bf16_build=False):
+        def body(box_ref, out_ref):
+            box = box_ref[0]
+            acc = jnp.zeros((8, 128), jnp.float32)
+            ones = jnp.ones((1, KY), jnp.bfloat16)
+            for i in range(NB):
+                bp = pltpu.roll(box, (KX - i % 17) % KX,
+                                1)[:, :128].astype(jnp.bfloat16)
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (128, 1), 0).astype(jnp.float32)
+                u = 30.0 + 0.003 * jax.lax.broadcasted_iota(
+                    jnp.int32, (1, PT), 1).astype(jnp.float32) + i
+                if bf16_build:
+                    d = (u - iota).astype(jnp.bfloat16)
+                    rw = jnp.maximum(1.0 - jnp.abs(d), 0.0)
+                else:
+                    rw = jnp.maximum(1.0 - jnp.abs(u - iota),
+                                     0.0).astype(jnp.bfloat16)
+                tmp = jax.lax.dot_general(
+                    bp, rw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # [KY, PT]
+                iy = jax.lax.broadcasted_iota(
+                    jnp.int32, (KY, 1), 0).astype(jnp.float32)
+                v = 40.0 + 0.001 * jax.lax.broadcasted_iota(
+                    jnp.int32, (1, PT), 1).astype(jnp.float32)
+                cw = jnp.maximum(1.0 - jnp.abs(v - iy), 0.0)
+                if reduce_mm:
+                    prod = (tmp * cw).astype(jnp.bfloat16)
+                    val = jax.lax.dot_general(
+                        ones, prod, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [1, PT]
+                else:
+                    val = jnp.sum(tmp * cw, axis=0, keepdims=True)
+                acc = acc + val.reshape(PB, T).sum(0).reshape(8, 128)
+            out_ref[0] = acc
+        return body
+
+    fn, _ = run_grid(make_wide())
+    timeit("N SHIPPED wide: KS=128 ctr_x red80", fn, box)
+
+    fo, _ = run_grid(make_wide(reduce_mm=True))
+    timeit("O wide + ones-matmul reduce", fo, box)
+
+    fp, _ = run_grid(make_wide(bf16_build=False, reduce_mm=False))
+    # Q: bf16 build of rw (post-subtract cast; weights exact in [0,1])
+    fq, _ = run_grid(make_wide(bf16_build=True))
+    timeit("Q wide + bf16 rw build", fq, box)
+
+    # ---- R: wide body, SHARED box slice across blocks (roll hoisted) ----
+    # All PB-blocks of one cell share one 128-wide slice centered on the
+    # whole-patch mean (roll once per cell instead of per block).
+    def body_r(box_ref, out_ref):
+        box = box_ref[0]
+        bp0 = pltpu.roll(box, 3, 1)[:, :128].astype(jnp.bfloat16)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for i in range(NB):
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (128, 1), 0).astype(jnp.float32)
+            u = 30.0 + 0.003 * jax.lax.broadcasted_iota(
+                jnp.int32, (1, PT), 1).astype(jnp.float32) + i
+            rw = jnp.maximum(1.0 - jnp.abs(u - iota),
+                             0.0).astype(jnp.bfloat16)
+            tmp = jax.lax.dot_general(
+                bp0, rw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            iy = jax.lax.broadcasted_iota(
+                jnp.int32, (KY, 1), 0).astype(jnp.float32)
+            v = 40.0 + 0.001 * jax.lax.broadcasted_iota(
+                jnp.int32, (1, PT), 1).astype(jnp.float32)
+            cw = jnp.maximum(1.0 - jnp.abs(v - iy), 0.0)
+            val = jnp.sum(tmp * cw, axis=0, keepdims=True)
+            acc = acc + val.reshape(PB, T).sum(0).reshape(8, 128)
+        out_ref[0] = acc
+
+    fr, _ = run_grid(body_r)
+    timeit("R wide, roll hoisted (1/cell)", fr, box)
+
 
 if __name__ == "__main__":
     main()

@@ -35,12 +35,10 @@ def main():
 
     # persistent compilation cache: the refine program is large and the
     # axon remote-compile path is slow/flaky on cold compiles
-    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # (machine-keyed: stale cross-host CPU AOT entries SIGILL, cache.py)
+    from pais_mvs_tpu.cache import enable_persistent_cache
+    enable_persistent_cache(os.path.join(os.path.dirname(__file__),
+                                         ".jax_cache"))
 
     B = int(os.environ.get("BENCH_BATCH", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "3"))

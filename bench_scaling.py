@@ -31,12 +31,9 @@ def main():
     from pais_mvs_tpu.models.camera import build_scene
     from pais_mvs_tpu.ops import lifecycle as lc
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__),
-                                       ".jax_cache"))
-    except Exception:
-        pass
+    from pais_mvs_tpu.cache import enable_persistent_cache
+    enable_persistent_cache(os.path.join(os.path.dirname(__file__),
+                                         ".jax_cache"))
 
     def sync(x):
         return float(jnp.sum(x))

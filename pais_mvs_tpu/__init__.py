@@ -39,12 +39,19 @@ except AttributeError:          # future jax renames: fail open
 # update still wins until the first backend query — and this package's
 # module-level jnp constants would otherwise BE that first query, hanging
 # a CPU-pinned run on TPU-tunnel discovery whenever the tunnel is down.
+# An explicit jax.config.update("jax_platforms", ...) made BEFORE this
+# import (e.g. tests pinning the 8-device CPU mesh) takes precedence:
+# only apply the env var while the config is still unset.
 import os as _os
 
 _plat = _os.environ.get("JAX_PLATFORMS")
 if _plat:
     try:
-        _jax.config.update("jax_platforms", _plat)
+        # the axon plugin force-sets "axon,cpu" at interpreter startup no
+        # matter what the env says; anything ELSE means someone upstream
+        # (a test conftest, a harness) chose explicitly — leave it alone
+        if _jax.config.jax_platforms in (None, "axon,cpu"):
+            _jax.config.update("jax_platforms", _plat)
     except Exception:
         pass
 

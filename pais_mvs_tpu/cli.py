@@ -397,15 +397,9 @@ def main(argv=None):
                          args.process_id)
 
     # persistent compilation cache: the refine programs are large and
-    # recompile identically across runs
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.expanduser("~"), ".cache",
-                                       "pais_mvs_tpu_jax"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # recompile identically across runs (machine-keyed — see cache.py)
+    from pais_mvs_tpu.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     profile_cm = None
     if args.profile:

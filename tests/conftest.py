@@ -14,6 +14,19 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Pin the persistent compile cache to a per-run private directory BEFORE
+# any test runs: test_cli drives cli.main in-process, whose
+# enable_persistent_cache() would otherwise point the WHOLE suite at the
+# shared user-level cache (~/.cache/pais_mvs_tpu_jax). A pytest process
+# killed mid-write (timeout, crash) leaves a truncated entry there, and
+# the next suite's cache READ aborts the interpreter from C (zstd/XLA
+# deserialize — not catchable). enable_persistent_cache respects an
+# already-set dir, so setting it here isolates every run.
+import tempfile as _tempfile
+
+_cache_tmp = _tempfile.mkdtemp(prefix="pais_mvs_test_jax_cache_")
+jax.config.update("jax_compilation_cache_dir", _cache_tmp)
+
 import pytest  # noqa: E402
 
 

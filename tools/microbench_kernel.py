@@ -428,6 +428,62 @@ def main():
     fr, _ = run_grid(body_r)
     timeit("R wide, roll hoisted (1/cell)", fr, box)
 
+    # ---- V: VPU rate calibration: weight build ONLY, f32 vs bf16 ----
+    # (decides whether bf16 doubles the VPU element rate on this chip;
+    # if yes, building rw/cw in bf16 halves the dominant kernel term)
+    def make_build_only(dt):
+        def body(box_ref, out_ref):
+            acc = jnp.zeros((8, 128), jnp.float32)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (128, 1), 0).astype(dt)
+            for i in range(NB):
+                u = (30.0 + 0.003 * jax.lax.broadcasted_iota(
+                    jnp.int32, (1, PT), 1).astype(jnp.float32)
+                    + i).astype(dt)
+                rw = jnp.maximum(1.0 - jnp.abs(u - iota), 0.0)
+                acc = acc + jnp.sum(
+                    rw.astype(jnp.float32).reshape(128, PB, T),
+                    axis=(0, 1))[None, :].reshape(8, 128)
+            out_ref[0] = acc
+        return body
+
+    fv1, _ = run_grid(make_build_only(jnp.float32))
+    timeit("V1 rw[128,PT] build only, f32", fv1, box)
+    fv2, _ = run_grid(make_build_only(jnp.bfloat16))
+    timeit("V2 rw[128,PT] build only, bf16", fv2, box)
+
+    # ---- W: wide body, ALL post-matmul VPU work in bf16 ----
+    # (rw build bf16, cw build bf16, tmp cast bf16, multiply+reduce bf16;
+    # the f32 accumulate happens on the [8, 128] output only)
+    def body_w(box_ref, out_ref):
+        box = box_ref[0]
+        acc = jnp.zeros((8, 128), jnp.float32)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (128, 1), 0).astype(jnp.bfloat16)
+        iy = jax.lax.broadcasted_iota(
+            jnp.int32, (KY, 1), 0).astype(jnp.bfloat16)
+        for i in range(NB):
+            bp = pltpu.roll(box, (KX - i % 17) % KX,
+                            1)[:, :128].astype(jnp.bfloat16)
+            u = (30.0 + 0.003 * jax.lax.broadcasted_iota(
+                jnp.int32, (1, PT), 1).astype(jnp.float32)
+                + i).astype(jnp.bfloat16)
+            rw = jnp.maximum(1.0 - jnp.abs(u - iota), 0.0)
+            tmp = jax.lax.dot_general(
+                bp, rw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16)          # [KY, PT]
+            v = (40.0 + 0.001 * jax.lax.broadcasted_iota(
+                jnp.int32, (1, PT), 1).astype(jnp.float32)).astype(
+                    jnp.bfloat16)
+            cw = jnp.maximum(1.0 - jnp.abs(v - iy), 0.0)
+            val = jnp.sum((tmp * cw).astype(jnp.float32), axis=0,
+                          keepdims=True)
+            acc = acc + val.reshape(PB, T).sum(0).reshape(8, 128)
+        out_ref[0] = acc
+
+    fw, _ = run_grid(body_w)
+    timeit("W wide, all-bf16 VPU path", fw, box)
+
 
 if __name__ == "__main__":
     main()

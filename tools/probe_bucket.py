@@ -21,9 +21,9 @@ from pais_mvs_tpu.ops.pallas_fitness import patch_fitness_pallas
 
 
 def main():
-    cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from pais_mvs_tpu.cache import enable_persistent_cache
+    enable_persistent_cache(os.path.join(os.path.dirname(__file__), "..",
+                                         ".jax_cache"))
     B, P = 1024, 30
     cfg = MvsConfig(particle_num=15, max_iteration=30, max_lod=6)
     sc = make_scene(num_cams=5, width=640, height=480, num_seeds=B + 64,

@@ -102,9 +102,15 @@ class MvsConfig:
     # dual-width kernel dispatch: per PSO iteration, patches whose every
     # particle window provably fits the 64-wide slice run a narrow launch
     # (saving its VPU weight-build cost); the rest run the full-coverage
-    # 128-wide launch. Bit-identical to always-wide (the routing test
-    # mirrors the kernel's slice math conservatively); pure speed knob.
-    pallas_span_bucket: bool = True
+    # 128-wide launch. Semantically equivalent to always-wide (the routing
+    # test mirrors the kernel's slice math conservatively; narrow launches
+    # quantize a different weight matrix to bf16, so agreement is to bf16
+    # tolerance). Measured SLOWER than always-wide on the headline bench
+    # (~425 vs ~440 p/s: two grid sweeps + the per-iteration routing mask
+    # outweigh the narrow launch's VPU saving), so OFF by default; kept as
+    # a knob for narrow-baseline workloads where most patches stay narrow
+    # (tools/probe_bucket.py measures the tradeoff in-situ).
+    pallas_span_bucket: bool = False
 
     @property
     def patch_size(self) -> int:

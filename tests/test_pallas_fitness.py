@@ -124,3 +124,27 @@ def test_large_radius_delegates_to_jnp(problem, tiny_cfg):
     # the guard is static delegation -> bit-identical, windows included
     np.testing.assert_array_equal(a, b)
     assert (a < 1e20).sum() > 0
+
+
+def test_span_bucket_matches_always_wide(problem, tiny_cfg):
+    """Dual-width dispatch (pallas_span_bucket=True) must agree with the
+    always-wide production path: identical BIG fate for every hypothesis
+    (the routing mask is conservative — a narrow launch never clips), and
+    fitness equal to bf16-quantization tolerance (narrow launches quantize
+    a different weight matrix; pallas_fitness._bilinear_block docstring)."""
+    scene, ref, cm, lod, rays, pos = problem
+    wide_cfg = tiny_cfg.replace(pallas_span_bucket=False)
+    dual_cfg = tiny_cfg.replace(pallas_span_bucket=True)
+    a = np.asarray(patch_fitness_pallas(scene, wide_cfg, ref, cm, lod, rays,
+                                        pos, interpret=True, precise=True))
+    b = np.asarray(patch_fitness_pallas(scene, dual_cfg, ref, cm, lod, rays,
+                                        pos, interpret=True, precise=True))
+    np.testing.assert_array_equal(a >= 1e20, b >= 1e20)
+    ok = a < 1e20
+    assert ok.sum() > 20
+    # precise=True pins f32 matmuls in BOTH launches -> strict agreement
+    np.testing.assert_allclose(b[ok], a[ok], rtol=1e-5, atol=1e-5)
+    # and the dual path must stay faithful to the jnp reference
+    c = np.asarray(F.patch_fitness(scene, tiny_cfg, ref, cm, lod, rays, pos))
+    np.testing.assert_array_equal(c >= 1e20, b >= 1e20)
+    np.testing.assert_allclose(b[ok], c[ok], rtol=1e-4, atol=1e-4)

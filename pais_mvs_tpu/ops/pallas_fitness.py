@@ -690,18 +690,19 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
 
         @pl.when(nval > 0)
         def _blk(i=i, flags=flags):
+            sb = i % 2                        # scratch parity (see _run_fused)
             # ---- pass A: per-camera warped samples into scratch ----
             for c in range(C):
                 act_c = ints_ref[0, c, 3]
 
                 @pl.when(act_c != 0)
-                def _cam(c=c, i=i, flags=flags):
+                def _cam(c=c, i=i, flags=flags, sb=sb):
                     hs = [[H_ref[0, c, i * PB + j, k] for k in range(9)]
                           for j in range(PB)]
 
-                    def w(val, ok, c=c):
-                        sam[pl.ds(c, 1), :] = jnp.where(ok, val, 0.0)
-                        okf[pl.ds(c, 1), :] = ok.astype(jnp.float32)
+                    def w(val, ok, c=c, sb=sb):
+                        sam[sb, pl.ds(c, 1), :] = jnp.where(ok, val, 0.0)
+                        okf[sb, pl.ds(c, 1), :] = ok.astype(jnp.float32)
 
                     _sample_block(
                         hs, flags, box_vals[c], x, y, px, py,
@@ -712,14 +713,14 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                         KX, KY, PB, precision, w)
 
                 @pl.when(act_c == 0)
-                def _cam0(c=c):
-                    sam[pl.ds(c, 1), :] = jnp.zeros((1, PT), jnp.float32)
-                    okf[pl.ds(c, 1), :] = jnp.ones((1, PT), jnp.float32)
+                def _cam0(c=c, sb=sb):
+                    sam[sb, pl.ds(c, 1), :] = jnp.zeros((1, PT), jnp.float32)
+                    okf[sb, pl.ds(c, 1), :] = jnp.ones((1, PT), jnp.float32)
 
             # ---- pass B: cross-camera weighted-SAD reduction (VMEM) ----
-            sum_v = sam[0:1, :]
+            sum_v = sam[sb, 0:1, :]
             for c in range(1, C):
-                sum_v = sum_v + sam[pl.ds(c, 1), :]
+                sum_v = sum_v + sam[sb, pl.ds(c, 1), :]
             mean = sum_v / cn
             absdev = jnp.zeros((1, PT), jnp.float32)
             okacc = jnp.ones((1, PT), jnp.float32)
@@ -731,8 +732,9 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                 # 1e30 kill below, (b) non-foreground pixels have w_pix = 0.
                 # Any change to the kill or weight logic must revisit this.
                 actf = (ints_ref[0, c, 3] != 0).astype(jnp.float32)
-                absdev = absdev + jnp.abs(sam[pl.ds(c, 1), :] - mean) * actf
-                okacc = okacc * okf[pl.ds(c, 1), :]
+                absdev = absdev + jnp.abs(sam[sb, pl.ds(c, 1), :] - mean) \
+                    * actf
+                okacc = okacc * okf[sb, pl.ds(c, 1), :]
             sad = absdev / cn
 
             w = wt
@@ -979,8 +981,14 @@ def _run_fused(scene: Scene, cfg: MvsConfig, H, pt, lod, cover, cover_y,
             pltpu.VMEM((C, KY, KX), pyrs.images.dtype),       # boxes1
             pltpu.VMEM((KY, KX), pyrs.edges.dtype),           # ebox0
             pltpu.VMEM((KY, KX), pyrs.edges.dtype),           # ebox1
-            pltpu.VMEM((C, PB * W2p), jnp.float32),           # sam
-            pltpu.VMEM((C, PB * W2p), jnp.float32),           # okf
+            # double-buffered by particle-BLOCK parity: block i's pass B
+            # (VPU SAD reduce) reads buffer i%2 while block i+1's pass A
+            # (MXU sampling) writes buffer (i+1)%2 — without this, Mosaic's
+            # ref-granular dependency tracking orders every next-block
+            # sample store after the previous block's reduce reads,
+            # throttling MXU/VPU software pipelining across blocks
+            pltpu.VMEM((2, C, PB * W2p), jnp.float32),        # sam
+            pltpu.VMEM((2, C, PB * W2p), jnp.float32),        # okf
             pltpu.SemaphoreType.DMA((C,)),
             pltpu.SemaphoreType.DMA((C,)),
             pltpu.SemaphoreType.DMA,

@@ -43,10 +43,18 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
+    # BENCH_BF16_VPU=0/1/2 A/Bs the bf16 VPU weight-build levels
+    # (config.py pallas_bf16_vpu) on both the headline run and the
+    # realistic-imagery gate below, so a speedup claim is quality-gated
+    # in the same command.
+    bf16_vpu = int(os.environ.get("BENCH_BF16_VPU", "-1"))
+
     # max_lod=6 keeps the pyramid stack + LOD-search unroll bounded (the
     # pawn workload's texture keeps patches at LOD 0-2 anyway)
     cfg = MvsConfig(particle_num=15, max_iteration=30, dist_weighting=5.0,
                     batch_size=B, max_lod=6)
+    if bf16_vpu >= 0:
+        cfg = cfg.replace(pallas_bf16_vpu=bf16_vpu)
     sc = make_scene(num_cams=5, width=640, height=480, num_seeds=B + 64,
                     seed=0)
     scene = build_scene(sc.params, sc.images, cfg)
@@ -120,6 +128,8 @@ def main():
         rcfg = MvsConfig(patch_radius=6, max_lod=4, particle_num=8,
                          max_iteration=12, dist_weighting=2.0, cell_size=12,
                          min_cam_num=3, batch_size=128)
+        if bf16_vpu >= 0:
+            rcfg = rcfg.replace(pallas_bf16_vpu=bf16_vpu)
         rscene = build_scene(rsc.params, rsc.images, rcfg)
         Br = (len(rsc.seed_centers) // 8) * 8
         rpb = patch_mod.from_seeds(rsc.seed_centers[:Br],

@@ -111,6 +111,22 @@ class MvsConfig:
     # a knob for narrow-baseline workloads where most patches stay narrow
     # (tools/probe_bucket.py measures the tradeoff in-situ).
     pallas_span_bucket: bool = False
+    # bf16 VPU weight builds in the fused kernel, residual formulation:
+    # round(coord) is exact in bf16 (integers <= 256), only the fractional
+    # residual carries quantization, so the built weight equals
+    # bf16(f32 weight) to 1 ulp — unlike a raw coordinate cast, which
+    # quantizes coord itself by +-0.2 px at coord ~ 100 (the error class
+    # the realistic-imagery gate catches; BASELINE.md round 2).
+    # 0 = f32 builds (default); 1 = build the MXU-side hat matrix in bf16
+    # (it was being cast to bf16 for the matmul anyway — pure saving);
+    # 2 = also build the VPU-side matrix and run the row reduce in bf16
+    # (the MXU then emits bf16: interpolated intensities round to +-0.5
+    # units, roughly doubling the default path's bf16 fitness noise —
+    # still ~0.1 on O(1-10) fitness values, far below the
+    # photoconsistency contrast PSO ranks on; parity-tested).
+    # Ignored under pallas_precise. Speed effect depends on the chip's
+    # bf16 VPU element rate (tools/microbench_kernel.py variants V1/V2/W).
+    pallas_bf16_vpu: int = 0
 
     @property
     def patch_size(self) -> int:

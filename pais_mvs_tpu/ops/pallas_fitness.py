@@ -27,7 +27,11 @@ These kernels restructure the work around the hardware:
     from the ref camera's box + an edge-atlas box.
   * The NCC/correlation path (`warped_patch_vectors_pallas`) still uses
     the two-stage sampler (`_run_sampler`): it genuinely needs the warped
-    vectors for the pairwise table.
+    vectors for the pairwise table. Staying two-stage is a measured
+    choice, not an omission: at P=1 the intermediate [B, C, 1, W2p]
+    tensor is ~20 MB (~50 us of HBM traffic against a multi-ms refine
+    round) and the normalization/pairwise dots are MXU-friendly XLA —
+    fusing them buys < 1% end-to-end.
 
 Samples falling outside the box are flagged invalid; hypotheses needing
 them score BIG — with the 128-wide block slice (STRETCH coverage) this
@@ -172,9 +176,33 @@ def _slice_width(W2p: int, KX: int, ks: int) -> int:
     return min(ks, KX)
 
 
+def _hat_weights(coord, iota, bf16):
+    """Bilinear hat weights max(1 - |coord - i|, 0) for every integer
+    lane/sublane index i (``iota`` [K, 1]) against per-pixel coordinates
+    ``coord`` [1, T] (the kernel's dominant VPU term; patch.cpp:1005-1017
+    is the per-pixel bilinear this vectorizes).
+
+    ``bf16=True`` builds at the VPU's bf16 element rate using the RESIDUAL
+    formulation: round(coord) and the iota are exact in bf16 (integers
+    <= 256 here), so only the fractional residual carries quantization and
+    the built weight equals bf16(f32 weight) to 1 ulp. A raw coordinate
+    cast would quantize coord itself (+-0.2 px at coord ~ 100) — the
+    exact error class the realistic-imagery gate exists to catch
+    (BASELINE.md round 2). Non-finite coords yield NaN weights here where
+    f32 yields 0/NaN; both are dead lanes (the caller's ok mask fails the
+    same bound compares) and are zeroed at the scratch write.
+    """
+    if not bf16:
+        return jnp.maximum(1.0 - jnp.abs(coord - iota), 0.0)
+    c0 = jnp.round(coord)
+    frac = (coord - c0).astype(jnp.bfloat16)                  # |.| <= 0.5
+    d = (c0.astype(jnp.bfloat16) - iota.astype(jnp.bfloat16)) + frac
+    return jnp.maximum(1.0 - jnp.abs(d), 0.0)
+
+
 def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
                   h_img, w_img, mlo, mhi, iota_lg, iota_ys,
-                  KX, KY, PB, precision, write):
+                  KX, KY, PB, precision, write, bf16_vpu=0):
     """One particle block x one camera: bilinear-sample all PB particles'
     warped windows from the block's 128-wide box slice and call
     ``write(val [1, PB*T], ok [1, PB*T])``.
@@ -184,6 +212,13 @@ def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
     coordinates; mlo/mhi: bounds margins.
     """
     KS_LG = iota_lg.shape[0]
+    # which hat matrix feeds the MXU vs the VPU reduce follows
+    # _bilinear_block's contraction choice for this launch width
+    contract_x = KS_LG >= KY
+    mxu_bf16 = precision is None and bf16_vpu >= 1
+    vpu_bf16 = precision is None and bf16_vpu >= 2
+    rw_bf16 = mxu_bf16 if contract_x else vpu_bf16
+    cw_bf16 = vpu_bf16 if contract_x else mxu_bf16
 
     # scalar pass: block slice centering = mean valid warped center
     ucs, n_ok = 0.0, 0
@@ -215,7 +250,7 @@ def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
     okm_blk = jnp.concatenate(oks, axis=1)
     vb = v_blk - byf
     okm_blk = okm_blk & (vb >= 0) & (vb <= KY - 2)
-    CwT = jnp.maximum(1.0 - jnp.abs(vb - iota_ys), 0.0)       # [KY, PB*T]
+    CwT = _hat_weights(vb, iota_ys, cw_bf16)                  # [KY, PB*T]
 
     def emit(ks, iota_xs, center_u):
         xoff = jnp.clip(center_u.astype(jnp.int32)
@@ -229,7 +264,7 @@ def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
             box_p = box_p.astype(jnp.bfloat16)
         ub = u_blk - bxf - xoff.astype(jnp.float32)
         ok_blk = okm_blk & (ub >= 0) & (ub <= ks - 2)
-        RwT = jnp.maximum(1.0 - jnp.abs(ub - iota_xs), 0.0)   # [ks, PB*T]
+        RwT = _hat_weights(ub, iota_xs, rw_bf16)              # [ks, PB*T]
         val = _bilinear_block(box_p, RwT, CwT, ks, KY, precision)
         write(val, ok_blk)
 
@@ -256,13 +291,22 @@ def _bilinear_block(box_p, RwT, CwT, KS, KY, precision, contract_x=None):
     contract_x=True was measured to erase the entire narrow gain)."""
     if contract_x is None:
         contract_x = KS >= KY
+    # pallas_bf16_vpu=2 marks the VPU-side hat matrix bf16 (built by
+    # _hat_weights, residual formulation): ask the MXU for bf16 output and
+    # run the row-weighted reduce at the VPU's bf16 element rate. The hat
+    # has <= 2 nonzero rows per column, so the bf16 accumulation only ever
+    # adds exact zeros — the reduce itself loses no precision beyond the
+    # bf16 product rounding.
+    vpu_bf16 = precision is None and \
+        (CwT if contract_x else RwT).dtype == jnp.bfloat16
     if precision is None:
         cast = lambda m: m.astype(jnp.bfloat16)
         # pin DEFAULT explicitly: a global jax_default_matmul_precision
         # override must not reach the bf16 kernel dots (Mosaic rejects
         # 'highest' on bf16 operands)
         kw = dict(precision=jax.lax.Precision.DEFAULT,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.bfloat16 if vpu_bf16
+                  else jnp.float32)
     else:
         cast = lambda m: m
         kw = dict(precision=precision, preferred_element_type=jnp.float32)
@@ -270,11 +314,13 @@ def _bilinear_block(box_p, RwT, CwT, KS, KY, precision, contract_x=None):
         # contract x on the MXU: [KY, KS] x [KS, PT] -> [KY, PT]
         tmp = jax.lax.dot_general(box_p, cast(RwT),
                                   (((1,), (0,)), ((), ())), **kw)
-        return jnp.sum(tmp * CwT, axis=0, keepdims=True)
-    # contract y on the MXU: [KY, KS]^T-contract [KY, PT] -> [KS, PT]
-    S = jax.lax.dot_general(box_p, cast(CwT),
-                            (((0,), (0,)), ((), ())), **kw)
-    return jnp.sum(S * RwT, axis=0, keepdims=True)
+        out = jnp.sum(tmp * CwT, axis=0, keepdims=True)
+    else:
+        # contract y on the MXU: [KY, KS]^T-contract [KY, PT] -> [KS, PT]
+        S = jax.lax.dot_general(box_p, cast(CwT),
+                                (((0,), (0,)), ((), ())), **kw)
+        out = jnp.sum(S * RwT, axis=0, keepdims=True)
+    return out.astype(jnp.float32) if vpu_bf16 else out
 
 
 def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
@@ -476,7 +522,7 @@ def _fused_kernel(ints_ref, ints2_ref, scal_ref, flts_ref, pflags_ref,
                   images_ref, edges_ref, H_ref, offs_ref, out_ref,
                   boxes0, boxes1, ebox0, ebox1, sam, okf, sem0, sem1,
                   esem0, esem1, *, precision, use_diff, diff_w,
-                  use_dist, use_grad, grad_w, ks_lg):
+                  use_dist, use_grad, grad_w, ks_lg, bf16_vpu):
     """Grid (B,). One patch per step: all C camera boxes live in VMEM
     (double-buffered across patches), every particle block is sampled per
     camera into ``sam``/``okf`` scratch, and the per-pixel mean / SAD /
@@ -597,13 +643,13 @@ def _fused_kernel(ints_ref, ints2_ref, scal_ref, flts_ref, pflags_ref,
                     offs_ref, out_ref, boxes0, boxes1, ebox0, ebox1,
                     sam, okf, par, C, KY, KX, P, PB, NB, PT, W2p,
                     precision, use_diff, diff_w, use_dist, use_grad, grad_w,
-                    ks_lg)
+                    ks_lg, bf16_vpu)
 
 
 def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                 out_ref, boxes0, boxes1, ebox0, ebox1, sam, okf, par,
                 C, KY, KX, P, PB, NB, PT, W2p, precision, use_diff, diff_w,
-                use_dist, use_grad, grad_w, ks_lg):
+                use_dist, use_grad, grad_w, ks_lg, bf16_vpu):
     cn = scal_ref[0, 0, 1]
     px = flts_ref[0, 0, 2]                  # ref-window center (all rows eq)
     py = flts_ref[0, 0, 3]
@@ -710,7 +756,7 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                         ints_ref[0, c, 2].astype(jnp.float32),
                         flts_ref[0, c, 0], flts_ref[0, c, 1],
                         2.0, 3.0, iota_lg, iota_ys,
-                        KX, KY, PB, precision, w)
+                        KX, KY, PB, precision, w, bf16_vpu=bf16_vpu)
 
                 @pl.when(act_c == 0)
                 def _cam0(c=c, sb=sb):
@@ -1007,7 +1053,9 @@ def _run_fused(scene: Scene, cfg: MvsConfig, H, pt, lod, cover, cover_y,
                               use_dist=True,
                               use_grad=bool(cfg.adaptive_gradient_enable),
                               grad_w=float(cfg.gradient_weighting),
-                              ks_lg=ks),
+                              ks_lg=ks,
+                              bf16_vpu=0 if precise
+                              else int(cfg.pallas_bf16_vpu)),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, P, 1), jnp.float32),
             interpret=interpret,

@@ -148,3 +148,39 @@ def test_span_bucket_matches_always_wide(problem, tiny_cfg):
     c = np.asarray(F.patch_fitness(scene, tiny_cfg, ref, cm, lod, rays, pos))
     np.testing.assert_array_equal(c >= 1e20, b >= 1e20)
     np.testing.assert_allclose(b[ok], c[ok], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_bf16_vpu_weight_builds_match(problem, tiny_cfg, level):
+    """pallas_bf16_vpu levels must agree with the default f32-build kernel
+    to bf16-quantization tolerance, and with the jnp reference to the
+    documented intensity-scale tolerance. The residual hat formulation
+    keeps the integer coordinate part exact in bf16 (config.py knob
+    docstring), so errors are weight-rounding only — never coordinate
+    quantization (the +-0.2 px raw-cast class the realistic gate catches)."""
+    scene, ref, cm, lod, rays, pos = problem
+    base = np.asarray(patch_fitness_pallas(
+        scene, tiny_cfg, ref, cm, lod, rays, pos, interpret=True))
+    fast = np.asarray(patch_fitness_pallas(
+        scene, tiny_cfg.replace(pallas_bf16_vpu=level), ref, cm, lod, rays,
+        pos, interpret=True))
+    np.testing.assert_array_equal(base >= 1e20, fast >= 1e20)
+    ok = base < 1e20
+    assert ok.sum() > 20
+    # level 1 only changes WHICH side rounds the (already-bf16) MXU hat
+    # matrix; level 2 additionally rounds the MXU output (interpolated
+    # intensities, +-0.5 units) before the bf16 reduce — roughly doubling
+    # the documented single-pass bf16 fitness noise
+    tol = 0.02 if level == 1 else 0.12
+    np.testing.assert_allclose(fast[ok], base[ok], rtol=tol, atol=tol)
+    a = np.asarray(F.patch_fitness(scene, tiny_cfg, ref, cm, lod, rays, pos))
+    jtol = 0.08 if level == 1 else 0.15
+    np.testing.assert_allclose(fast[ok], a[ok], rtol=jtol, atol=jtol)
+    # pallas_precise must ignore the knob entirely (strict-f32 parity path)
+    p0 = np.asarray(patch_fitness_pallas(
+        scene, tiny_cfg, ref, cm, lod, rays, pos, interpret=True,
+        precise=True))
+    p1 = np.asarray(patch_fitness_pallas(
+        scene, tiny_cfg.replace(pallas_bf16_vpu=level), ref, cm, lod, rays,
+        pos, interpret=True, precise=True))
+    np.testing.assert_array_equal(p0, p1)

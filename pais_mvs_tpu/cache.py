@@ -52,6 +52,16 @@ def enable_persistent_cache(base: str | None = None,
     import jax
 
     try:
+        # CPU-only runs never engage the persistent cache: XLA:CPU AOT
+        # deserialization is the segfault path (cross-host ISA mismatch,
+        # and observed even same-host within one pytest run), and CPU
+        # compiles are cheap. The cache exists for the slow axon remote
+        # compiles. jax.config.jax_platforms is consulted (not the
+        # backend) so this never triggers backend init — which hangs
+        # when the tunnel is down.
+        plats = jax.config.jax_platforms
+        if plats is not None and set(plats.split(",")) == {"cpu"}:
+            return
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir",
                               compile_cache_dir(base))

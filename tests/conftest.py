@@ -14,20 +14,36 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-# Pin the persistent compile cache to a per-run private directory BEFORE
-# any test runs: test_cli drives cli.main in-process, whose
-# enable_persistent_cache() would otherwise point the WHOLE suite at the
-# shared user-level cache (~/.cache/pais_mvs_tpu_jax). A pytest process
-# killed mid-write (timeout, crash) leaves a truncated entry there, and
-# the next suite's cache READ aborts the interpreter from C (zstd/XLA
-# deserialize — not catchable). enable_persistent_cache respects an
-# already-set dir, so setting it here isolates every run.
-import tempfile as _tempfile
+# Disable the persistent compile cache for the whole suite: test_cli
+# drives cli.main in-process, whose enable_persistent_cache() would
+# otherwise engage a shared cache — and XLA:CPU executable DESERIALIZE
+# segfaults the interpreter from C (not catchable). This is not only a
+# stale/cross-host hazard: a per-run PRIVATE tempdir cache reproducibly
+# segfaulted mid-suite when a program written by one test file was
+# re-read by a later one (compilation_cache.get_executable_and_time).
+# The cache exists for the slow axon remote compiles; CPU compiles are
+# cheap — keep the suite on the always-safe recompile path.
+jax.config.update("jax_enable_compilation_cache", False)
 
-_cache_tmp = _tempfile.mkdtemp(prefix="pais_mvs_test_jax_cache_")
-jax.config.update("jax_compilation_cache_dir", _cache_tmp)
+import gc  # noqa: E402
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles ~130 distinct XLA:CPU programs in one
+    process; with all of them retained, a late compile reproducibly
+    segfaults inside backend_compile (and, when the persistent cache was
+    on, inside the cache's executable deserialize) — always at the same
+    test, while any half of the suite passes. Dropping JAX's jit caches
+    between modules keeps the live-executable population bounded; the
+    cost is re-tracing shared fixtures' programs per module."""
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

@@ -24,7 +24,32 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast (instead of hanging forever) when the axon TPU tunnel is
+    down: backend init under the axon plugin retries silently with ~0 CPU
+    when the tunnel is unreachable. Probe device discovery in a subprocess
+    with a hard timeout so a dead tunnel yields a clear error, not a hang.
+    Honors whatever JAX_PLATFORMS the caller set (a CPU-pinned run probes
+    the CPU backend and passes immediately)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import pais_mvs_tpu, jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: backend init did not answer within {timeout_s:.0f}s "
+              "— TPU tunnel down? (JAX_PLATFORMS=cpu runs on CPU)",
+              file=sys.stderr)
+        sys.exit(2)
+    if r.returncode != 0:
+        print(f"bench: backend probe failed:\n{r.stderr[-800:]}",
+              file=sys.stderr)
+        sys.exit(2)
+
+
 def main():
+    _probe_backend()
     import jax
     import jax.numpy as jnp
     from pais_mvs_tpu.config import MvsConfig

@@ -44,8 +44,15 @@ def _local_best(pbest, pbest_fit, local_k: int):
     to a row sort, which measured 3.7 ms/iteration at [1024, 30, 30]
     (dominating the whole GLN update); the unrolled extraction is ~10x
     cheaper and selects the same neighbour set (ties broken by index)."""
-    d = pbest[:, :, None, :] - pbest[:, None, :, :]
-    dist2 = jnp.sum(d * d, axis=-1)                          # [B, P, P]
+    # pairwise distances WITHOUT a [B, P, P, D] intermediate: with D on the
+    # minor (lane) axis that tensor tiles to 128 lanes for D=3 — ~0.5 GB of
+    # physical HBM traffic per iteration at the bench shape. The Gram-matrix
+    # identity keeps everything [B, P, P] (and puts the contraction on the
+    # MXU); only the RANKING of dist2 is consumed, so the small cancellation
+    # error of the expanded form cannot change more than argmin tie-breaks.
+    n2 = jnp.sum(pbest * pbest, axis=-1)                     # [B, P]
+    gram = jnp.einsum("bpd,bqd->bpq", pbest, pbest)
+    dist2 = n2[:, :, None] + n2[:, None, :] - 2.0 * gram     # [B, P, P]
     P = pbest.shape[1]
     eye = jnp.eye(P, dtype=bool)
     dist2 = jnp.where(eye[None], jnp.inf, dist2)
@@ -158,14 +165,14 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
                          (velix < convergence_threshold))
         active = ~done & active0
 
-        rp = pw * r4[0]
-        rg = gw * r4[1]
+        rp = pw * r4[0][..., None]
+        rg = gw * r4[1][..., None]
 
         dv = (rp * (c.pbest - c.pos) +
               rg * (c.gbest[:, None, :] - c.pos))
         if enable_gln:
-            rl = lw * r4[2]
-            rn = nw * r4[3]
+            rl = lw * r4[2][..., None]
+            rn = nw * r4[3][..., None]
             lbest = _local_best(c.pbest, c.pbest_fit, K)
             # FDR uses the particle's CURRENT fitness (psosolver.cpp:195)
             nbest = _fdr_best(c.pos, c.fit, c.pbest, c.pbest_fit)
@@ -199,8 +206,11 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
                jnp.zeros((B,), dtype=bool),
                jnp.zeros((B,), dtype=jnp.int32))
     # all per-iteration uniforms in ONE threefry call (4 tiny per-step
-    # generations cost several ms/step at B=1024 on TPU)
+    # generations cost several ms/step at B=1024 on TPU). No trailing
+    # [..., 1] axis: a size-1 minor dim still tiles to 128 lanes, making
+    # the buffer (and every per-step slice read) 32x its logical size —
+    # the broadcast happens at the use sites instead.
     rand_all = jax.random.uniform(
-        jax.random.fold_in(key, 7), (max_iteration, 4, B, P, 1))
+        jax.random.fold_in(key, 7), (max_iteration, 4, B, P))
     cf, _ = jax.lax.scan(step, c0, (jnp.arange(max_iteration), rand_all))
     return PsoResult(cf.gbest, cf.gbest_fit, cf.iters)

@@ -57,4 +57,8 @@ log "5 roofline start"
 timeout 3000 python tools/roofline.py > "$OUT/05_roofline.out" 2>&1
 log "5 roofline rc=$?"
 
+log "6 refine-profile start"
+timeout 3000 python tools/profile_refine.py > "$OUT/06_profile.out" 2>&1
+log "6 refine-profile rc=$?"
+
 log "queue done"

@@ -37,17 +37,25 @@ if [ $rc -ne 0 ]; then
   exit 1
 fi
 
-log "2 micro start"
-timeout 3000 python tools/microbench_kernel.py \
-    > "$OUT/02_micro.out" 2>&1
-log "2 micro rc=$?"
+# headline bench at the DEFAULT config first: if the tunnel returns late
+# in the round this is the one artifact that must exist (it doubles as
+# the bf16=0 arm of the A/B)
+log "2 bench-default start"
+timeout 3000 python bench.py \
+    > "$OUT/02_bench_default.json" 2> "$OUT/02_bench_default.err"
+log "2 bench-default rc=$?"
 
-for L in 0 1 2; do
+for L in 1 2; do
   log "3 bf16=$L start"
   timeout 3000 env BENCH_BF16_VPU=$L python bench.py \
       > "$OUT/03_bf16_$L.json" 2> "$OUT/03_bf16_$L.err"
   log "3 bf16=$L rc=$?"
 done
+
+log "2b micro start"
+timeout 3000 python tools/microbench_kernel.py \
+    > "$OUT/02_micro.out" 2>&1
+log "2b micro rc=$?"
 
 log "4 bucket start"
 timeout 3000 python tools/probe_bucket.py > "$OUT/04_bucket.out" 2>&1

@@ -120,10 +120,15 @@ class MvsConfig:
     # 0 = f32 builds (default); 1 = build the MXU-side hat matrix in bf16
     # (it was being cast to bf16 for the matmul anyway — pure saving);
     # 2 = also build the VPU-side matrix and run the row reduce in bf16
-    # (the MXU then emits bf16: interpolated intensities round to +-0.5
-    # units, roughly doubling the default path's bf16 fitness noise —
-    # still ~0.1 on O(1-10) fitness values, far below the
-    # photoconsistency contrast PSO ranks on; parity-tested).
+    # (the MXU accumulates in f32 — Mosaic requires a 32-bit acc — and
+    # the result is downcast to bf16 for the reduce: interpolated
+    # intensities round to +-0.5 units, roughly doubling the default
+    # path's bf16 fitness noise — still ~0.1 on O(1-10) fitness values,
+    # far below the photoconsistency contrast PSO ranks on;
+    # parity-tested).
+    # TPU v5e measured (round 3): level 1 = 276 p/s vs level 0 = 408 p/s
+    # on the headline bench — the bf16 builds force extra relayouts that
+    # cost more than the element-rate saving, so 0 stays the default.
     # Ignored under pallas_precise. Speed effect depends on the chip's
     # bf16 VPU element rate (tools/microbench_kernel.py variants V1/V2/W).
     pallas_bf16_vpu: int = 0

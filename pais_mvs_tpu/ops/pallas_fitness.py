@@ -292,11 +292,14 @@ def _bilinear_block(box_p, RwT, CwT, KS, KY, precision, contract_x=None):
     if contract_x is None:
         contract_x = KS >= KY
     # pallas_bf16_vpu=2 marks the VPU-side hat matrix bf16 (built by
-    # _hat_weights, residual formulation): ask the MXU for bf16 output and
-    # run the row-weighted reduce at the VPU's bf16 element rate. The hat
-    # has <= 2 nonzero rows per column, so the bf16 accumulation only ever
-    # adds exact zeros — the reduce itself loses no precision beyond the
-    # bf16 product rounding.
+    # _hat_weights, residual formulation): cast the MXU result to bf16 and
+    # run the row-weighted reduce at the VPU's bf16 element rate. Mosaic
+    # REQUIRES a 32-bit matmul accumulator on real TPU (a bf16
+    # preferred_element_type verifies on CPU interpret mode but fails
+    # 'Expected matmul acc to be 32-bit' on-device), so the downcast
+    # happens after the dot, not inside it. The hat has <= 2 nonzero rows
+    # per column, so the bf16 reduce only ever adds exact zeros — it loses
+    # no precision beyond the bf16 product rounding.
     vpu_bf16 = precision is None and \
         (CwT if contract_x else RwT).dtype == jnp.bfloat16
     if precision is None:
@@ -305,21 +308,21 @@ def _bilinear_block(box_p, RwT, CwT, KS, KY, precision, contract_x=None):
         # override must not reach the bf16 kernel dots (Mosaic rejects
         # 'highest' on bf16 operands)
         kw = dict(precision=jax.lax.Precision.DEFAULT,
-                  preferred_element_type=jnp.bfloat16 if vpu_bf16
-                  else jnp.float32)
+                  preferred_element_type=jnp.float32)
     else:
         cast = lambda m: m
         kw = dict(precision=precision, preferred_element_type=jnp.float32)
+    down = (lambda m: m.astype(jnp.bfloat16)) if vpu_bf16 else (lambda m: m)
     if contract_x:
         # contract x on the MXU: [KY, KS] x [KS, PT] -> [KY, PT]
         tmp = jax.lax.dot_general(box_p, cast(RwT),
                                   (((1,), (0,)), ((), ())), **kw)
-        out = jnp.sum(tmp * CwT, axis=0, keepdims=True)
+        out = jnp.sum(down(tmp) * CwT, axis=0, keepdims=True)
     else:
         # contract y on the MXU: [KY, KS]^T-contract [KY, PT] -> [KS, PT]
         S = jax.lax.dot_general(box_p, cast(CwT),
                                 (((0,), (0,)), ((), ())), **kw)
-        out = jnp.sum(S * RwT, axis=0, keepdims=True)
+        out = jnp.sum(down(S) * RwT, axis=0, keepdims=True)
     return out.astype(jnp.float32) if vpu_bf16 else out
 
 

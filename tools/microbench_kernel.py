@@ -469,9 +469,12 @@ def main():
                 jnp.int32, (1, PT), 1).astype(jnp.float32)
                 + i).astype(jnp.bfloat16)
             rw = jnp.maximum(1.0 - jnp.abs(u - iota), 0.0)
+            # Mosaic requires a 32-bit matmul accumulator on real TPU;
+            # downcast AFTER the dot (same as the production kernel)
             tmp = jax.lax.dot_general(
                 bp, rw, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.bfloat16)          # [KY, PT]
+                preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)                            # [KY, PT]
             v = (40.0 + 0.001 * jax.lax.broadcasted_iota(
                 jnp.int32, (1, PT), 1).astype(jnp.float32)).astype(
                     jnp.bfloat16)

@@ -374,7 +374,7 @@ def main(argv=None):
                          "before dense reconstruction")
     ap.add_argument("--distributed-expansion", action="store_true",
                     help="run expansion as SPMD cell-slab rounds over all "
-                         "devices (halo exchange; multi-chip scale path)")
+                         "devices (SPMD occupancy exchange; multi-chip scale path)")
     ap.add_argument("--patch-id", type=int, default=None,
                     help="with -v: dump the patch's warped-window mosaic "
                          "and SAD heat-map PNGs")

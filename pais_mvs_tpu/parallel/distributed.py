@@ -3,7 +3,7 @@
 The reference is a single process; scaling across TPU hosts here uses
 ``jax.distributed.initialize`` — every host runs the same program, JAX
 assembles the global device mesh, and the SPMD paths (`parallel.sharded`,
-`parallel.halo`, `ops.bundle.bundle_adjust_sharded`, the engine's
+`parallel.expansion`, `ops.bundle.bundle_adjust_sharded`, the engine's
 data-parallel refine) shard over all global devices transparently.
 
 Single-host usage never needs this module. Multi-host:

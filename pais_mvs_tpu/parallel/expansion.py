@@ -1,10 +1,10 @@
 """Full-semantics SPMD wavefront expansion.
 
-The round-2 distributed path (`parallel.halo.sharded_expansion_round`) was
-a documented simplification: reference-view candidates only, density-only
-dedupe, ring-limited routing. This module is the parity rewrite — one
-shard_map step that reproduces the host engine's (and the reference's)
-expansion semantics on a device mesh:
+The round-2 distributed path (a ``ppermute`` ring-halo exchange, removed
+in round 4) was a documented simplification: reference-view candidates
+only, density-only dedupe, ring-limited routing. This module is the parity
+rewrite — one shard_map step that reproduces the host engine's (and the
+reference's) expansion semantics on a device mesh:
 
   * candidates come from EVERY visible view's cell grid, the reference's
     expandNeighborCell loop (TMVS/mvs/mvs.cpp:529-564 — the "reference

@@ -132,6 +132,19 @@ class MvsConfig:
     # Ignored under pallas_precise. Speed effect depends on the chip's
     # bf16 VPU element rate (tools/microbench_kernel.py variants V1/V2/W).
     pallas_bf16_vpu: int = 0
+    # Hoist the fused kernel's box roll (the dynamic-lane-alignment
+    # pltpu.roll before the block slice) from once per particle block to
+    # once per (patch, camera) cell: all blocks share one 128-wide slice
+    # centered on the whole-swarm mean warped center instead of per-block
+    # means (microbench variant R, tools/microbench_kernel.py — 6.56 vs
+    # 6.87 us/cell on v5e). Particles landing outside the shared slice are
+    # flagged invalid exactly like the per-block slice's bounds (the swarm
+    # depth range is ~1 px of parallax by construction, so block centers
+    # cluster within a few px of the cell mean; validity agreement is
+    # re-measured by bench.py's self-test every run). False restores the
+    # round-3 per-block rolls — bench.py times that arm as its in-run
+    # calibration control.
+    pallas_roll_hoist: bool = True
 
     @property
     def patch_size(self) -> int:

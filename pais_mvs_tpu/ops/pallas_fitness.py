@@ -202,7 +202,7 @@ def _hat_weights(coord, iota, bf16):
 
 def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
                   h_img, w_img, mlo, mhi, iota_lg, iota_ys,
-                  KX, KY, PB, precision, write, bf16_vpu=0):
+                  KX, KY, PB, precision, write, bf16_vpu=0, shared=None):
     """One particle block x one camera: bilinear-sample all PB particles'
     warped windows from the block's 128-wide box slice and call
     ``write(val [1, PB*T], ok [1, PB*T])``.
@@ -210,6 +210,12 @@ def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
     hs: per-particle lists of 9 homography scalars; flags: per-particle
     validity scalars; box_f: [KY, KX] f32; x/y: [1, T] ref-window pixel
     coordinates; mlo/mhi: bounds margins.
+
+    ``shared``: optional pre-rolled cell-level slice ``(box_p, xoff_f)``
+    (the roll-hoist path, cfg.pallas_roll_hoist): the caller rolled the
+    box ONCE per (patch, camera) cell on the whole-swarm mean center and
+    all blocks sample from it — the per-block scalar centering pass and
+    the per-block roll are skipped; ``box_f`` is unused then.
     """
     KS_LG = iota_lg.shape[0]
     # which hat matrix feeds the MXU vs the VPU reduce follows
@@ -221,15 +227,20 @@ def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
     cw_bf16 = vpu_bf16 if contract_x else mxu_bf16
 
     # scalar pass: block slice centering = mean valid warped center
-    ucs, n_ok = 0.0, 0
-    for j in range(PB):
-        h = hs[j]
-        wc = h[6] * px + h[7] * py + h[8]
-        uc = (h[0] * px + h[1] * py + h[2]) / jnp.where(wc == 0, 1.0, wc)
-        fj = (flags[j] != 0) & (wc != 0)
-        ucs = ucs + jnp.where(fj, uc, 0.0)
-        n_ok = n_ok + fj.astype(jnp.int32)
-    center_lg = ucs / jnp.maximum(n_ok, 1).astype(jnp.float32)
+    # (skipped under the roll hoist — the cell-level center was computed
+    # once over the whole swarm by the caller)
+    if shared is None:
+        ucs, n_ok = 0.0, 0
+        for j in range(PB):
+            h = hs[j]
+            wc = h[6] * px + h[7] * py + h[8]
+            uc = (h[0] * px + h[1] * py + h[2]) / jnp.where(wc == 0, 1.0, wc)
+            fj = (flags[j] != 0) & (wc != 0)
+            ucs = ucs + jnp.where(fj, uc, 0.0)
+            n_ok = n_ok + fj.astype(jnp.int32)
+        center_lg = ucs / jnp.maximum(n_ok, 1).astype(jnp.float32)
+    else:
+        center_lg = None
 
     # shared vector pass: per-particle u/v + margin validity
     us, vs, oks = [], [], []
@@ -253,16 +264,20 @@ def _sample_block(hs, flags, box_f, x, y, px, py, bxf, byf,
     CwT = _hat_weights(vb, iota_ys, cw_bf16)                  # [KY, PB*T]
 
     def emit(ks, iota_xs, center_u):
-        xoff = jnp.clip(center_u.astype(jnp.int32)
-                        - bxf.astype(jnp.int32) - ks // 2, 0, KX - ks)
-        # dynamic lane-roll + static slice (Mosaic has no dynamic lane
-        # slicing); wrapped columns land beyond ub's [0, ks-2] validity
-        # window, so they are never read as valid samples. Roll in f32
-        # (bf16 roll crashes the compiler), cast after.
-        box_p = pltpu.roll(box_f, -xoff, 1)[:, :ks]
-        if precision is None:
-            box_p = box_p.astype(jnp.bfloat16)
-        ub = u_blk - bxf - xoff.astype(jnp.float32)
+        if shared is not None:
+            box_p, xoff_f = shared
+        else:
+            xoff = jnp.clip(center_u.astype(jnp.int32)
+                            - bxf.astype(jnp.int32) - ks // 2, 0, KX - ks)
+            # dynamic lane-roll + static slice (Mosaic has no dynamic lane
+            # slicing); wrapped columns land beyond ub's [0, ks-2] validity
+            # window, so they are never read as valid samples. Roll in f32
+            # (bf16 roll crashes the compiler), cast after.
+            box_p = pltpu.roll(box_f, -xoff, 1)[:, :ks]
+            if precision is None:
+                box_p = box_p.astype(jnp.bfloat16)
+            xoff_f = xoff.astype(jnp.float32)
+        ub = u_blk - bxf - xoff_f
         ok_blk = okm_blk & (ub >= 0) & (ub <= ks - 2)
         RwT = _hat_weights(ub, iota_xs, rw_bf16)              # [ks, PB*T]
         val = _bilinear_block(box_p, RwT, CwT, ks, KY, precision)
@@ -525,7 +540,7 @@ def _fused_kernel(ints_ref, ints2_ref, scal_ref, flts_ref, pflags_ref,
                   images_ref, edges_ref, H_ref, offs_ref, out_ref,
                   boxes0, boxes1, ebox0, ebox1, sam, okf, sem0, sem1,
                   esem0, esem1, *, precision, use_diff, diff_w,
-                  use_dist, use_grad, grad_w, ks_lg, bf16_vpu):
+                  use_dist, use_grad, grad_w, ks_lg, bf16_vpu, roll_hoist):
     """Grid (B,). One patch per step: all C camera boxes live in VMEM
     (double-buffered across patches), every particle block is sampled per
     camera into ``sam``/``okf`` scratch, and the per-pixel mean / SAD /
@@ -646,13 +661,13 @@ def _fused_kernel(ints_ref, ints2_ref, scal_ref, flts_ref, pflags_ref,
                     offs_ref, out_ref, boxes0, boxes1, ebox0, ebox1,
                     sam, okf, par, C, KY, KX, P, PB, NB, PT, W2p,
                     precision, use_diff, diff_w, use_dist, use_grad, grad_w,
-                    ks_lg, bf16_vpu)
+                    ks_lg, bf16_vpu, roll_hoist)
 
 
 def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                 out_ref, boxes0, boxes1, ebox0, ebox1, sam, okf, par,
                 C, KY, KX, P, PB, NB, PT, W2p, precision, use_diff, diff_w,
-                use_dist, use_grad, grad_w, ks_lg, bf16_vpu):
+                use_dist, use_grad, grad_w, ks_lg, bf16_vpu, roll_hoist):
     cn = scal_ref[0, 0, 1]
     px = flts_ref[0, 0, 2]                  # ref-window center (all rows eq)
     py = flts_ref[0, 0, 3]
@@ -726,6 +741,35 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
     wt = jnp.concatenate([w_pix] * PB, axis=1)                # [1, PT]
     ft = jnp.concatenate([fg] * PB, axis=1)
 
+    # ---- roll hoist (microbench variant R): one lane-alignment roll per
+    # (patch, camera) cell instead of one per particle block — every block
+    # samples from a shared KS_LG-wide slice centered on the whole-swarm
+    # mean warped center. The swarm's depth range is ~1 px of parallax by
+    # construction so block means cluster within a few px of the cell
+    # mean; particles whose footprint still escapes the shared slice fail
+    # the same [0, ks-2] bounds check the per-block slice enforces.
+    shared_slices = None
+    if roll_hoist:
+        shared_slices = []
+        for c in range(C):
+            ucs = 0.0
+            n_ok = ints_ref[0, 0, 0] * 0
+            for j in range(P):
+                wc = H_ref[0, c, j, 6] * px + H_ref[0, c, j, 7] * py \
+                    + H_ref[0, c, j, 8]
+                uc = (H_ref[0, c, j, 0] * px + H_ref[0, c, j, 1] * py
+                      + H_ref[0, c, j, 2]) / jnp.where(wc == 0, 1.0, wc)
+                fj = (pflags_ref[0, 0, j] != 0) & (wc != 0)
+                ucs = ucs + jnp.where(fj, uc, 0.0)
+                n_ok = n_ok + fj.astype(jnp.int32)
+            center = ucs / jnp.maximum(n_ok, 1).astype(jnp.float32)
+            xoff = jnp.clip(center.astype(jnp.int32) - ints_ref[0, c, 0]
+                            - KS_LG // 2, 0, KX - KS_LG)
+            slc = pltpu.roll(box_vals[c], -xoff, 1)[:, :KS_LG]
+            if precision is None:
+                slc = slc.astype(jnp.bfloat16)
+            shared_slices.append((slc, xoff.astype(jnp.float32)))
+
     for i in range(NB):
         flags = [pflags_ref[0, 0, i * PB + j] for j in range(PB)]
         nval = flags[0] * 0
@@ -759,7 +803,9 @@ def _fused_body(ints_ref, scal_ref, flts_ref, pflags_ref, H_ref, offs_ref,
                         ints_ref[0, c, 2].astype(jnp.float32),
                         flts_ref[0, c, 0], flts_ref[0, c, 1],
                         2.0, 3.0, iota_lg, iota_ys,
-                        KX, KY, PB, precision, w, bf16_vpu=bf16_vpu)
+                        KX, KY, PB, precision, w, bf16_vpu=bf16_vpu,
+                        shared=None if shared_slices is None
+                        else shared_slices[c])
 
                 @pl.when(act_c == 0)
                 def _cam0(c=c, sb=sb):
@@ -1058,7 +1104,8 @@ def _run_fused(scene: Scene, cfg: MvsConfig, H, pt, lod, cover, cover_y,
                               grad_w=float(cfg.gradient_weighting),
                               ks_lg=ks,
                               bf16_vpu=0 if precise
-                              else int(cfg.pallas_bf16_vpu)),
+                              else int(cfg.pallas_bf16_vpu),
+                              roll_hoist=bool(cfg.pallas_roll_hoist)),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, P, 1), jnp.float32),
             interpret=interpret,
@@ -1080,7 +1127,8 @@ def _run_fused(scene: Scene, cfg: MvsConfig, H, pt, lod, cover, cover_y,
         # to always-wide by construction (_narrow_fit_mask mirrors the
         # kernel's slice placement with a rounding guard).
         narrow_ok = _narrow_fit_mask(H, pt, r, bx, KX, act, pvalid,
-                                     ks_narrow)
+                                     ks_narrow,
+                                     hoist=bool(cfg.pallas_roll_hoist))
         act_n = act & narrow_ok[:, None]
         act_w = act & ~narrow_ok[:, None]
         # an all-empty launch still pays ~6% of a full one walking its
@@ -1101,12 +1149,14 @@ _NARROW_KS = 64
 _SPAN_MARGIN = 2.0
 
 
-def _narrow_fit_mask(H, pt, r, bx, KX, act, pvalid, ks):
+def _narrow_fit_mask(H, pt, r, bx, KX, act, pvalid, ks, hoist=False):
     """[B] True where the ks-wide block slice PROVABLY covers every valid
     particle's warped window in every active camera — mirroring
     ``_sample_block``'s centering math (same truncation and clipping) with
     a ``_SPAN_MARGIN``-px guard for f32/op-order rounding, so narrow-bucket
-    fitness is bit-identical to the wide launch's.
+    fitness is bit-identical to the wide launch's. ``hoist`` mirrors the
+    roll-hoist kernel's CELL-level centering (one slice per (patch,
+    camera) over the whole swarm) instead of per-block means.
 
     Soundness: the warp u over the window rectangle is a ratio of affine
     functions of (x, y); when the denominator w has one sign at all 4
@@ -1122,8 +1172,11 @@ def _narrow_fit_mask(H, pt, r, bx, KX, act, pvalid, ks):
     computed; pvalid: [B, P] per-particle validity (padded).
     """
     B, P, C = H.shape[:3]
-    PB = 8 if P % 8 == 0 else 1
-    NB = P // PB
+    if hoist:
+        PB, NB = P, 1          # one cell-wide slice shared by all blocks
+    else:
+        PB = 8 if P % 8 == 0 else 1
+        NB = P // PB
     px = pt[:, 0][:, None, None]                              # [B, 1, 1]
     py = pt[:, 1][:, None, None]
 

@@ -150,6 +150,27 @@ def test_span_bucket_matches_always_wide(problem, tiny_cfg):
     np.testing.assert_allclose(b[ok], c[ok], rtol=1e-4, atol=1e-4)
 
 
+def test_roll_hoist_matches_per_block(problem, tiny_cfg):
+    """The roll-hoisted kernel (cfg.pallas_roll_hoist: one lane-alignment
+    roll per (patch, camera) cell, microbench variant R) must agree with
+    the round-3 per-block slices: identical BIG fates on swarm-scale
+    hypothesis spreads (the shared slice must cover every block's
+    footprint) and fitness equal to f32 op-order tolerance under
+    precise=True. Both arms ship — False is bench.py's in-run calibration
+    control — so both stay parity-tested."""
+    scene, ref, cm, lod, rays, pos = problem
+    h = np.asarray(patch_fitness_pallas(
+        scene, tiny_cfg.replace(pallas_roll_hoist=True), ref, cm, lod,
+        rays, pos, interpret=True, precise=True))
+    p = np.asarray(patch_fitness_pallas(
+        scene, tiny_cfg.replace(pallas_roll_hoist=False), ref, cm, lod,
+        rays, pos, interpret=True, precise=True))
+    np.testing.assert_array_equal(h >= 1e20, p >= 1e20)
+    ok = h < 1e20
+    assert ok.sum() > 20
+    np.testing.assert_allclose(h[ok], p[ok], rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("level", [1, 2])
 def test_bf16_vpu_weight_builds_match(problem, tiny_cfg, level):
     """pallas_bf16_vpu levels must agree with the default f32-build kernel

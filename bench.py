@@ -14,6 +14,16 @@ the comparison is conservative).
 vs_baseline divides by the sequential CPU oracle's patches/s
 (baseline_cpu.json; pais_mvs_tpu/oracle.py — the reference publishes no
 numbers, SURVEY.md §6). Driver target: >= 50x (BASELINE.json).
+
+SELF-CALIBRATION (round 4): the axon tunnel's day-to-day throughput drift
+is ~±10% (BASELINE.md round 3) — larger than most kernel-level wins. The
+bench therefore (a) times BENCH_BLOCKS >= 4 independent blocks and reports
+the median + IQR, and (b) interleaves a pinned CONTROL arm — the round-3
+kernel path (pallas_roll_hoist=False) — through the same blocks, emitting
+both numbers plus their ratio. Cross-round comparisons should use
+head_vs_control (tunnel-invariant) rather than raw patches/s. The
+realistic-gate acceptance fraction is also emitted so margin drift is
+visible across rounds (VERDICT r3 weak #5).
 """
 
 import json
@@ -67,6 +77,8 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    nblocks = int(os.environ.get("BENCH_BLOCKS", "4"))
+    with_control = os.environ.get("BENCH_CONTROL", "1") != "0"
 
     # BENCH_BF16_VPU=0/1/2 A/Bs the bf16 VPU weight-build levels
     # (config.py pallas_bf16_vpu) on both the headline run and the
@@ -167,19 +179,50 @@ def main():
         rd = (rsc.surface_distance(np.asarray(rres.batch.center)[rkeep])
               if rkeep.any() else np.array([np.inf]))
         rmed = float(np.median(rd))
-        realistic_ok = rkeep.sum() > 0.4 * Br and rmed < 2.5e-3
-        print(f"realistic gate: {int(rkeep.sum())}/{Br} seeds, median "
+        racc = int(rkeep.sum())
+        realistic_ok = racc > 0.4 * Br and rmed < 2.5e-3
+        print(f"realistic gate: {racc}/{Br} seeds, median "
               f"surface dist {rmed:.5f} -> "
               f"{'ok' if realistic_ok else 'FAIL'}", file=sys.stderr)
+    else:
+        racc, Br, rmed = -1, -1, float("nan")
 
-    # steady state
-    t0 = time.time()
-    for i in range(reps):
-        res = lc.refine_batch(scene, cfg, pb,
-                              jax.random.fold_in(key, i), nr, True, 1)
-    sync(res.batch.fitness)
-    dt = time.time() - t0
-    pps = B * reps / dt
+    # control arm: the pinned round-3 kernel path (per-block rolls). Same
+    # workload, same jit machinery; compiled once here so its compile does
+    # not land inside a timed block.
+    cfg_ctrl = cfg.replace(pallas_roll_hoist=False)
+    if with_control:
+        res_c = lc.refine_batch(scene, cfg_ctrl, pb, key, nr, True, 1)
+        sync(res_c.batch.fitness)
+
+    # steady state: nblocks independent timed blocks per arm, interleaved
+    # H C H C ... so tunnel drift within the run hits both arms equally
+    def timed_block(c, i0):
+        t0 = time.time()
+        for i in range(reps):
+            r = lc.refine_batch(scene, c, pb,
+                                jax.random.fold_in(key, i0 + i), nr, True, 1)
+        sync(r.batch.fitness)
+        return B * reps / (time.time() - t0), r
+
+    head_pps, ctrl_pps = [], []
+    for k in range(nblocks):
+        v, res = timed_block(cfg, k * reps)
+        head_pps.append(v)
+        if with_control:
+            v, _ = timed_block(cfg_ctrl, k * reps)
+            ctrl_pps.append(v)
+
+    def med_iqr(xs):
+        return (float(np.median(xs)),
+                [float(np.percentile(xs, 25)), float(np.percentile(xs, 75))])
+
+    pps, head_iqr = med_iqr(head_pps)
+    print(f"head blocks: {[round(x, 1) for x in head_pps]}", file=sys.stderr)
+    if with_control:
+        cpps, ctrl_iqr = med_iqr(ctrl_pps)
+        print(f"ctrl blocks: {[round(x, 1) for x in ctrl_pps]}",
+              file=sys.stderr)
 
     # sanity: the result must actually be a reconstruction, not garbage
     keep = np.asarray(res.batch.valid)
@@ -206,7 +249,15 @@ def main():
         "value": round(pps, 2),
         "unit": "patches/s/chip",
         "vs_baseline": round(pps / cpu_pps, 2),
+        "iqr": [round(head_iqr[0], 2), round(head_iqr[1], 2)],
+        "blocks": nblocks,
+        "realistic_accept": [racc, Br],
+        "realistic_median_dist": round(rmed, 6),
     }
+    if with_control:
+        out["control_r3_kernel"] = round(cpps, 2)
+        out["control_iqr"] = [round(ctrl_iqr[0], 2), round(ctrl_iqr[1], 2)]
+        out["head_vs_control"] = round(pps / cpps, 4)
     print(json.dumps(out))
 
 

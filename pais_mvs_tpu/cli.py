@@ -201,8 +201,11 @@ def _dump_stats(rec: Reconstructor, out_dir: str) -> None:
 
 def run_reconstruct(path: str, out_dir: str = ".",
                     refine_poses: bool = False,
-                    distributed: bool = False) -> None:
+                    distributed: bool = False,
+                    live_snapshots: bool = False) -> None:
     rec = _build_reconstructor(path, out_dir, refine_poses=refine_poses)
+    if live_snapshots:
+        rec.live_snapshot_dir = out_dir
     rec._log(rec.cfg.describe())
     j = lambda n: os.path.join(out_dir, n)
     t0 = time.time()
@@ -375,6 +378,11 @@ def main(argv=None):
     ap.add_argument("--distributed-expansion", action="store_true",
                     help="run expansion as SPMD cell-slab rounds over all "
                          "devices (SPMD occupancy exchange; multi-chip scale path)")
+    ap.add_argument("--live-snapshots", action="store_true",
+                    help="refresh OUT_DIR/live_snapshot.ply at every "
+                         "autosave so the growing cloud can be watched "
+                         "mid-run (the reference's addPatchView live-viewer "
+                         "hook, offline-honest)")
     ap.add_argument("--patch-id", type=int, default=None,
                     help="with -v: dump the patch's warped-window mosaic "
                          "and SAD heat-map PNGs")
@@ -410,7 +418,8 @@ def main(argv=None):
         if args.r:
             run_reconstruct(args.r, args.out_dir,
                             refine_poses=args.refine_poses,
-                            distributed=args.distributed_expansion)
+                            distributed=args.distributed_expansion,
+                            live_snapshots=args.live_snapshots)
         elif args.f:
             run_filter(args.f, args.out_dir)
         elif args.v:

@@ -58,6 +58,10 @@ class Reconstructor:
         self.grids: Optional[CellGrids] = None
         self.neighbor_radius = cfg.neighbor_radius
         self.key = jax.random.PRNGKey(cfg.rng_seed)
+        # autosave cadence in new patches (mvs.cpp:265-268 uses 500); the
+        # live-snapshot hook (addPatchView analog) fires at the same points
+        self.autosave_interval = 500
+        self.live_snapshot_dir: Optional[str] = None
         # host copies of rig data for cheap bookkeeping math
         rig = self.scene.rig
         self.np_center = np.asarray(rig.center, dtype=np.float64)
@@ -468,7 +472,7 @@ class Reconstructor:
         t0 = time.time()
         total_refined = 0
         t_device = 0.0
-        self._save_time = a.count // 500
+        self._save_time = a.count // self.autosave_interval
         for rnd in range(max_rounds):
             frontier = a.live_ids()
             frontier = frontier[~a.expanded[frontier]]
@@ -567,9 +571,11 @@ class Reconstructor:
                       f" -> {inserted} inserted (total {len(a.live_ids())})")
             # autosave every 500 new patches (mvs.cpp:265-268), frontier
             # included via the sidecar
-            if autosave_path and a.count // 500 > self._save_time:
-                self._save_time = a.count // 500
+            if autosave_path and \
+                    a.count // self.autosave_interval > self._save_time:
+                self._save_time = a.count // self.autosave_interval
                 self.save_checkpoint(autosave_path)
+                self._live_snapshot()
         self._update_neighbor_radius()
         wall = time.time() - t0
         self.stats["expansion_s"] = wall
@@ -848,6 +854,22 @@ class Reconstructor:
                   f"{int((~a.expanded[:n] & a.alive[:n]).sum())} frontier)")
         return True
 
+    def _live_snapshot(self) -> None:
+        """Offline-honest analog of the reference's live-viewer hook
+        ``addPatchView`` (TMVS/mvs/mvs.h:12, TMVS.cpp:20-24, called on
+        every accepted patch at mvs/mvs.cpp:223,600): when
+        ``live_snapshot_dir`` is set (CLI ``--live-snapshots``), each
+        autosave also refreshes ``live_snapshot.ply`` with the current
+        cloud, so a long reconstruction can be watched mid-flight with
+        any file-watching point-cloud viewer."""
+        if not self.live_snapshot_dir:
+            return
+        import os
+        tmp = os.path.join(self.live_snapshot_dir, ".live_snapshot.tmp")
+        dst = os.path.join(self.live_snapshot_dir, "live_snapshot.ply")
+        self.write_ply(tmp)
+        os.replace(tmp, dst)       # atomic: a watcher never sees a torn file
+
     def write_ply(self, path: str, deleted: bool = False) -> None:
         a = self.arena
         ids = (np.asarray(a.deleted_ids, dtype=np.int64) if deleted
@@ -873,8 +895,11 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
     full three-clause skipNeighborCell against the exchanged cellmate
     state, plane intersection, batched refine, insert-time re-check and
     occupancy update all on-device — then merges the accepted patches back
-    into the arena. See parallel/expansion.py for the semantics map vs
-    mvs.cpp:529-601/792-898 and the two documented divergences.
+    into the arena. Parents whose candidates were deferred by the refine
+    budget are re-queued (nothing is dropped; the stall guard in the loop
+    bounds pathological re-queue cycles). See parallel/expansion.py for
+    the semantics map vs mvs.cpp:529-601/792-898 and the one documented
+    divergence (pre-round occupancy in the insert-time re-check).
     """
     import jax
     import math as _math
@@ -912,7 +937,8 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
     t0 = time.time()
     total_inserted = 0
     total_spilled = 0
-    self._dist_save_time = a.count // 500
+    stall_rounds = 0
+    self._dist_save_time = a.count // self.autosave_interval
     for rnd in range(max_rounds):
         frontier = a.live_ids()
         frontier = frontier[~a.expanded[frontier]]
@@ -955,7 +981,7 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
         # split (not fold_in) so a resumed/repeated expansion never
         # replays the same PSO stream (ADVICE r1)
         self.key, sub = jax.random.split(self.key)
-        out_pb, accepted, occ, ost, spilled = expand_step(
+        out_pb, accepted, occ, ost, spilled, sp_par = expand_step(
             self.scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
             jnp.asarray(orank), jnp.asarray(valid), jnp.asarray(pmask),
             occ, ost, cam_cells_j, self.neighbor_radius, sub,
@@ -968,16 +994,34 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
             total_inserted += int(acc.sum())
         n_spill = int(np.asarray(spilled)[0])
         total_spilled += n_spill
+        if n_spill:
+            # re-queue the parents of budget-deferred candidates so they
+            # regenerate next round (the reference's queue never drops a
+            # candidate, mvs.cpp:632-788). skipNeighborCell prunes the
+            # regenerated ones whose cells filled meanwhile. Stop after 2
+            # consecutive zero-insert rounds: an insertion-free round
+            # leaves the occupancy unchanged, so an identically-spilling
+            # frontier would loop to max_rounds without progress.
+            stall_rounds = stall_rounds + 1 if not acc.any() else 0
+            if stall_rounds < 2:
+                sp = np.asarray(sp_par)                       # [N] by slot
+                requeue = taken[sp[slot]]
+                a.expanded[requeue] = False
+        else:
+            stall_rounds = 0
         self._log(f"dist round {rnd}: {len(taken)} parents"
                   f" -> {int(acc.sum())} inserted"
                   f" (total {len(a.live_ids())})"
-                  + (f" [refine-budget spill {n_spill}]" if n_spill else ""))
+                  + (f" [refine-budget spill {n_spill}, re-queued]"
+                     if n_spill else ""))
         # zero-accept rounds still make progress: the taken parents are
         # marked expanded, so the frontier drains and the top-of-loop
         # check terminates
-        if autosave_path and a.count // 500 > self._dist_save_time:
-            self._dist_save_time = a.count // 500
+        if autosave_path and \
+                a.count // self.autosave_interval > self._dist_save_time:
+            self._dist_save_time = a.count // self.autosave_interval
             self.save_checkpoint(autosave_path)
+            self._live_snapshot()
     self.grids = None          # host grids rebuilt lazily for the filters
     self.stats["dist_expansion_s"] = time.time() - t0
     self.stats["dist_inserted"] = total_inserted

@@ -83,3 +83,36 @@ def test_corrupt_sidecar_leaves_arena_untouched(tmp_path, small):
     before_count = rec2.arena.count
     assert not rec2.load_checkpoint(ck)
     assert rec2.arena.count == before_count    # nothing mutated
+
+
+def test_live_snapshot_written_during_expansion(tmp_path, small):
+    """--live-snapshots analog of the reference's addPatchView live-viewer
+    hook (TMVS/mvs/mvs.h:12, mvs.cpp:223,600): every autosave must also
+    refresh live_snapshot.ply so the growing cloud is watchable mid-run."""
+    from pais_mvs_tpu.io.pointcloud import read_ply
+    cfg, sc = small
+    rec = _fresh(cfg, sc)
+    rec.refine_seeds()
+    rec.autosave_interval = 10            # force several autosaves
+    rec.live_snapshot_dir = str(tmp_path)
+    snap = tmp_path / "live_snapshot.ply"
+    counts = []
+    orig = type(rec)._live_snapshot
+
+    def spy(self):
+        orig(self)
+        if snap.exists():
+            counts.append(len(read_ply(str(snap))[0]))
+    type(rec)._live_snapshot = spy
+    try:
+        rec.expand(max_rounds=6,
+                   autosave_path=str(tmp_path / "auto_save.mvs"))
+    finally:
+        type(rec)._live_snapshot = orig
+    n_final = len(rec.arena.live_ids())
+    assert snap.exists()
+    assert len(counts) >= 2, counts       # refreshed repeatedly mid-run
+    assert counts[0] < n_final            # first snapshot was mid-flight
+    assert counts == sorted(counts)       # monotone growing cloud
+    c, n, col = read_ply(str(snap))
+    assert np.isfinite(c).all() and len(c) <= n_final

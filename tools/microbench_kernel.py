@@ -428,6 +428,73 @@ def main():
     fr, _ = run_grid(body_r)
     timeit("R wide, roll hoisted (1/cell)", fr, box)
 
+    # ---- S: NO roll at all — contract the FULL KX=256 box (2 K-tiles) --
+    # Alignment lives entirely in the hat weights (built over all 256
+    # lanes), so the dynamic lane-roll disappears; the price is a second
+    # MXU K-tile (J: K=128 costs 2.48 us/cell) and a 256-row rw build.
+    def body_s(box_ref, out_ref):
+        box = box_ref[0]
+        bp = box.astype(jnp.bfloat16)                          # [80, 256]
+        acc = jnp.zeros((8, 128), jnp.float32)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (KX, 1), 0).astype(jnp.float32)
+        iy = jax.lax.broadcasted_iota(
+            jnp.int32, (KY, 1), 0).astype(jnp.float32)
+        for i in range(NB):
+            u = 94.0 + 0.003 * jax.lax.broadcasted_iota(
+                jnp.int32, (1, PT), 1).astype(jnp.float32) + i
+            rw = jnp.maximum(1.0 - jnp.abs(u - iota),
+                             0.0).astype(jnp.bfloat16)        # [256, PT]
+            tmp = jax.lax.dot_general(
+                bp, rw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [KY, PT]
+            v = 40.0 + 0.001 * jax.lax.broadcasted_iota(
+                jnp.int32, (1, PT), 1).astype(jnp.float32)
+            cw = jnp.maximum(1.0 - jnp.abs(v - iy), 0.0)
+            val = jnp.sum(tmp * cw, axis=0, keepdims=True)
+            acc = acc + val.reshape(PB, T).sum(0).reshape(8, 128)
+        out_ref[0] = acc
+
+    fs, _ = run_grid(body_s)
+    timeit("S no-roll: full-K mm[80,256,8192]", fs, box)
+
+    # ---- T: NO roll, split-K — two static 128-column slices, each with
+    # its own hat half, summed (same math as S, explicit 2-tile schedule;
+    # the second tile's rw build can be skipped when the footprint
+    # provably fits one half, which a production kernel would know from
+    # the box-placement margin)
+    def body_t(box_ref, out_ref):
+        box = box_ref[0]
+        bp0 = box[:, :128].astype(jnp.bfloat16)
+        bp1 = box[:, 128:].astype(jnp.bfloat16)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (128, 1), 0).astype(jnp.float32)
+        iy = jax.lax.broadcasted_iota(
+            jnp.int32, (KY, 1), 0).astype(jnp.float32)
+        for i in range(NB):
+            u = 94.0 + 0.003 * jax.lax.broadcasted_iota(
+                jnp.int32, (1, PT), 1).astype(jnp.float32) + i
+            rw0 = jnp.maximum(1.0 - jnp.abs(u - iota),
+                              0.0).astype(jnp.bfloat16)
+            rw1 = jnp.maximum(1.0 - jnp.abs((u - 128.0) - iota),
+                              0.0).astype(jnp.bfloat16)
+            tmp = jax.lax.dot_general(
+                bp0, rw0, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            tmp = tmp + jax.lax.dot_general(
+                bp1, rw1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            v = 40.0 + 0.001 * jax.lax.broadcasted_iota(
+                jnp.int32, (1, PT), 1).astype(jnp.float32)
+            cw = jnp.maximum(1.0 - jnp.abs(v - iy), 0.0)
+            val = jnp.sum(tmp * cw, axis=0, keepdims=True)
+            acc = acc + val.reshape(PB, T).sum(0).reshape(8, 128)
+        out_ref[0] = acc
+
+    ft, _ = run_grid(body_t)
+    timeit("T no-roll: split-K 2x mm[80,128,8192]", ft, box)
+
     # ---- V: VPU rate calibration: weight build ONLY, f32 vs bf16 ----
     # (decides whether bf16 doubles the VPU element rate on this chip;
     # if yes, building rw/cw in bf16 halves the dominant kernel term)
@@ -479,8 +546,10 @@ def main():
                 jnp.int32, (1, PT), 1).astype(jnp.float32)).astype(
                     jnp.bfloat16)
             cw = jnp.maximum(1.0 - jnp.abs(v - iy), 0.0)
-            val = jnp.sum((tmp * cw).astype(jnp.float32), axis=0,
-                          keepdims=True)
+            # sum in bf16, cast the result — exactly _bilinear_block's
+            # vpu_bf16 reduce (pallas_fitness.py), not a heavier f32 reduce
+            val = jnp.sum(tmp * cw, axis=0,
+                          keepdims=True).astype(jnp.float32)
             acc = acc + val.reshape(PB, T).sum(0).reshape(8, 128)
         out_ref[0] = acc
 

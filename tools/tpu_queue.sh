@@ -1,22 +1,29 @@
 #!/bin/bash
-# Round-3 TPU experiment queue. Waits for tools/tpu_poll.sh to signal the
+# Round-4 TPU experiment queue. Waits for tools/tpu_poll.sh to signal the
 # axon tunnel is back (/tmp/tpu_up.flag), then runs the queued measurements
-# in dependency order, logging everything under /tmp/tpu_queue/.
+# in dependency order, logging everything under /tmp/tpu_queue_r4/.
 #
-#  1. smoke     — bench.py at B=256: compiles the CURRENT fused kernel
-#                 (double-buffered scratch + bf16_vpu threading) on the real
-#                 chip, runs the on-device parity self-test + realistic
-#                 gate. A Mosaic crash here means revert 70ac7cd.
-#  2. micro     — tools/microbench_kernel.py (V1/V2/W calibrate the VPU's
-#                 bf16 element rate; I vs L re-checks pipelining).
-#  3. bf16 A/B  — full bench at pallas_bf16_vpu = 0 / 1 / 2, each
-#                 quality-co-gated (self-test + realistic scene in-run).
-#  4. bucket    — tools/probe_bucket.py (re-decide pallas_span_bucket).
-#  5. roofline  — tools/roofline.py (refresh BASELINE.md numbers).
+#  1. smoke      — bench.py at B=256, single block, no control: compiles
+#                  the roll-HOISTED fused kernel on the real chip and runs
+#                  the on-device parity self-test + realistic gate. A
+#                  Mosaic crash here means flip pallas_roll_hoist default.
+#  1b. bf16-smoke— non-interpret compile of the bf16_vpu=2 kernel (ADVICE
+#                  r3 #3: that class verifies on CPU, fails on Mosaic).
+#  2. bench      — full self-calibrating bench: 4 blocks, median+IQR,
+#                  in-run r3-kernel control arm -> head_vs_control is the
+#                  tunnel-invariant number for the roll-hoist claim.
+#  3. spmd       — tools/tpu_spmd_ondevice.py: shard_map+psum+Pallas and
+#                  expand_distributed ON the chip (VERDICT r3 missing #1).
+#  4. micro      — tools/microbench_kernel.py: R (hoist) vs S/T (no-roll)
+#                  decide the round-5 kernel direction; W re-measured with
+#                  the fixed bf16 reduce (ADVICE r3 #2).
+#  5. 4k         — tools/tpu_4k_run.py: 8-cam 4096x3072 full-CLI run,
+#                  wall/phase/memory/quality (VERDICT r3 weak #7).
+#  6. roofline   — refresh BASELINE.md numbers for the hoisted kernel.
 #
 # Run detached:  bash tools/tpu_queue.sh &
 set -u
-OUT=/tmp/tpu_queue
+OUT=/tmp/tpu_queue_r4
 mkdir -p "$OUT"
 : > "$OUT/status"
 log() { echo "$(date +%H:%M:%S) $*" >> "$OUT/status"; }
@@ -28,45 +35,44 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 log "1 smoke start"
-timeout 2400 env BENCH_BATCH=256 BENCH_REPS=1 python bench.py \
+timeout 2400 env BENCH_BATCH=256 BENCH_REPS=1 BENCH_BLOCKS=1 \
+    BENCH_CONTROL=0 python bench.py \
     > "$OUT/01_smoke.json" 2> "$OUT/01_smoke.err"
 rc=$?
 log "1 smoke rc=$rc"
 if [ $rc -ne 0 ]; then
-  log "SMOKE FAILED — queue halted (suspect 70ac7cd double-buffer on Mosaic)"
+  log "SMOKE FAILED — suspect pallas_roll_hoist on Mosaic; queue halted"
   exit 1
 fi
 
-# headline bench at the DEFAULT config first: if the tunnel returns late
-# in the round this is the one artifact that must exist (it doubles as
-# the bf16=0 arm of the A/B)
-log "2 bench-default start"
-timeout 3000 python bench.py \
-    > "$OUT/02_bench_default.json" 2> "$OUT/02_bench_default.err"
-log "2 bench-default rc=$?"
+log "1b bf16=2 lowering smoke start"
+timeout 1800 env BENCH_BATCH=256 BENCH_REPS=1 BENCH_BLOCKS=1 \
+    BENCH_CONTROL=0 BENCH_REALISTIC=0 BENCH_BF16_VPU=2 python bench.py \
+    > "$OUT/01b_bf16_2.json" 2> "$OUT/01b_bf16_2.err"
+log "1b bf16=2 rc=$?"
 
-for L in 1 2; do
-  log "3 bf16=$L start"
-  timeout 3000 env BENCH_BF16_VPU=$L python bench.py \
-      > "$OUT/03_bf16_$L.json" 2> "$OUT/03_bf16_$L.err"
-  log "3 bf16=$L rc=$?"
-done
+log "2 bench start"
+timeout 3600 python bench.py \
+    > "$OUT/02_bench.json" 2> "$OUT/02_bench.err"
+log "2 bench rc=$?"
 
-log "2b micro start"
+log "3 spmd-on-device start"
+timeout 3000 python tools/tpu_spmd_ondevice.py \
+    > "$OUT/03_spmd.out" 2> "$OUT/03_spmd.err"
+log "3 spmd rc=$?"
+
+log "4 micro start"
 timeout 3000 python tools/microbench_kernel.py \
-    > "$OUT/02_micro.out" 2>&1
-log "2b micro rc=$?"
+    > "$OUT/04_micro.out" 2>&1
+log "4 micro rc=$?"
 
-log "4 bucket start"
-timeout 3000 python tools/probe_bucket.py > "$OUT/04_bucket.out" 2>&1
-log "4 bucket rc=$?"
+log "5 4k start"
+timeout 5400 python tools/tpu_4k_run.py --rounds 24 \
+    > "$OUT/05_4k.json" 2> "$OUT/05_4k.err"
+log "5 4k rc=$?"
 
-log "5 roofline start"
-timeout 3000 python tools/roofline.py > "$OUT/05_roofline.out" 2>&1
-log "5 roofline rc=$?"
-
-log "6 refine-profile start"
-timeout 3000 python tools/profile_refine.py > "$OUT/06_profile.out" 2>&1
-log "6 refine-profile rc=$?"
+log "6 roofline start"
+timeout 3000 python tools/roofline.py > "$OUT/06_roofline.out" 2>&1
+log "6 roofline rc=$?"
 
 log "queue done"

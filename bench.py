@@ -251,8 +251,8 @@ def main():
         "vs_baseline": round(pps / cpu_pps, 2),
         "iqr": [round(head_iqr[0], 2), round(head_iqr[1], 2)],
         "blocks": nblocks,
-        "realistic_accept": [racc, Br],
-        "realistic_median_dist": round(rmed, 6),
+        "realistic_accept": None if racc < 0 else [racc, Br],
+        "realistic_median_dist": None if racc < 0 else round(rmed, 6),
     }
     if with_control:
         out["control_r3_kernel"] = round(cpps, 2)

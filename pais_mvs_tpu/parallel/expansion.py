@@ -29,14 +29,20 @@ exchange of the simplified path cannot carry them — candidates are
 all_gather'ed (XLA lowers it to an ICI ring) and each shard filters the
 rows it owns. Payloads are a few KB per shard per round.
 
-Divergences vs the host path's serial insert loop (both bounded, both
-surfaced by the cloud-parity test in tests/test_engine_distributed.py):
+Divergence vs the host path's serial insert loop (bounded, surfaced by
+the cloud-parity tests in tests/test_engine_distributed.py and the
+realistic-scene parity in tests/test_realistic.py):
   * the insert-time re-check evaluates the correlation / isNeighbor
     clauses against the PRE-round occupancy (the host re-checks against
     the live grid which fills as it inserts); the intra-round density is
-    still enforced in strategy order via the rank caps;
-  * candidates past the per-shard refine budget are dropped (counted and
-    returned as ``spilled``), where the host would queue them.
+    still enforced in strategy order via the rank caps.
+
+Candidates past the per-shard refine budget are NOT lost (the reference's
+queue never drops, mvs.cpp:632-788): their parents are reported back in
+``spilled_parents`` and the engine re-queues them — the parent regenerates
+its candidates next round, where skipNeighborCell prunes the ones whose
+cells filled meanwhile, exactly like a late queue pop against the live
+grid. ``spilled`` is therefore only ever transiently nonzero.
 """
 
 from __future__ import annotations
@@ -172,6 +178,17 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
         sel = jnp.argsort(jnp.where(mine, g_ord, jnp.inf), stable=True)[:R]
         keep = mine[sel]
         spilled = jax.lax.psum(jnp.sum(mine) - jnp.sum(keep), PATCH_AXIS)
+        # parents of budget-dropped candidates are reported back so the
+        # host re-queues them next round (the reference's queue never
+        # drops a candidate, mvs.cpp:632-788): gathered row r belongs to
+        # parent slot (r // m) * n + (r % m) // (4 * C). Each candidate
+        # is owned by exactly one shard, so the psum is exact.
+        kept_mask = jnp.zeros(g_ord.shape[0], bool).at[sel].set(keep)
+        ridx = jnp.arange(g_ord.shape[0])
+        gslot = (ridx // m) * n + (ridx % m) // (4 * C)
+        sp_par = jnp.zeros((S * n,), jnp.int32).at[gslot].add(
+            (mine & ~kept_mask).astype(jnp.int32))
+        sp_par = jax.lax.psum(sp_par, PATCH_AXIS) > 0
         rpay = g_pay[sel]
         rcol = g_col[sel]
         rrow = g_row[sel]
@@ -339,7 +356,7 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
         stf = jnp.repeat(a_st, C, axis=0)                     # [S*R*C, 7]
         ost2 = ost.at[lcolf, combf, slot].set(stf, mode="drop")
         occ2 = occ.at[lcolf, combf].add(updf.astype(occ.dtype))
-        return rb, acc, occ2, ost2, spilled[None]
+        return rb, acc, occ2, ost2, spilled[None], sp_par
 
     from pais_mvs_tpu.models import patch as patch_mod2
     spec_pb = jax.tree.map(lambda _: P(PATCH_AXIS),
@@ -353,7 +370,7 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
                       P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
                       P(PATCH_AXIS), P(PATCH_AXIS), P(), P(), P()),
             out_specs=(spec_pb, P(PATCH_AXIS), P(PATCH_AXIS),
-                       P(PATCH_AXIS), P()),
+                       P(PATCH_AXIS), P(), P()),
             check_vma=False)
         return f(scene, *args)
 
@@ -374,7 +391,9 @@ def expand_step(scene, cfg, centers, normals, order_rank, valid,
 
     Returns (refined PatchBatch [S*refine_budget rows, sharded],
     accepted [S*refine_budget] bool, new occ_cnt, new occ_state,
-    spilled [1] i32 — candidates dropped by the refine budget).
+    spilled [1] i32 — candidates deferred by the refine budget this
+    round, spilled_parents [N] bool — parent slots to re-queue so those
+    candidates are regenerated next round).
     """
     C = scene.rig.num_cameras
     fn = _expand_step_fn(cfg, mesh, slab_cols, occ_cnt.shape[0], grid_h,

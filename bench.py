@@ -195,6 +195,13 @@ def main():
         res_c = lc.refine_batch(scene, cfg_ctrl, pb, key, nr, True, 1)
         sync(res_c.batch.fitness)
 
+    # re-warm the HEAD arm after the control/realistic programs ran: the
+    # first head dispatch after other executables pays a one-off ~11 s
+    # re-warm on the tunnel (round 4 measured block 1 at 174.9 vs 470
+    # steady) — keep that out of the timed blocks
+    res_w = lc.refine_batch(scene, cfg, pb, key, nr, True, 1)
+    sync(res_w.batch.fitness)
+
     # steady state: nblocks independent timed blocks per arm, interleaved
     # H C H C ... so tunnel drift within the run hits both arms equally
     def timed_block(c, i0):

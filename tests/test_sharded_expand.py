@@ -90,7 +90,7 @@ def test_expand_step_produces_surface_patches():
     R = 64
     occ = np.zeros((S * slab, C * gh), np.int32)
     ost = np.zeros((S * slab, C * gh, 2, OCC_STATE_F), np.float32)
-    out_pb, accepted, occ2, ost2, spilled = expand_step(
+    out_pb, accepted, occ2, ost2, spilled, _sp_par = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ), jnp.asarray(ost), jnp.asarray(cam_cells),
@@ -134,7 +134,7 @@ def test_occupancy_is_per_camera():
     ost = np.zeros((S * slab, C * gh, 2, OCC_STATE_F), np.float32)
 
     mesh = make_mesh((S, 1))
-    out_pb, accepted, occ2, ost2, spilled = expand_step(
+    out_pb, accepted, occ2, ost2, spilled, _sp_par = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ), jnp.asarray(ost), jnp.asarray(cam_cells),
@@ -169,7 +169,7 @@ def test_skip_clauses_block_occupied_neighborhood():
 
     occ0 = np.zeros((S * slab, C * gh), np.int32)
     ost0 = np.zeros((S * slab, C * gh, 3, OCC_STATE_F), np.float32)
-    _, acc_empty, _, _, _ = expand_step(
+    _, acc_empty, _, _, _, _ = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ0), jnp.asarray(ost0), jnp.asarray(cam_cells),
@@ -185,7 +185,7 @@ def test_skip_clauses_block_occupied_neighborhood():
     ost1 = np.zeros((S * slab, C * gh, 3, OCC_STATE_F), np.float32)
     ost1[..., 0, 6] = 0.99          # correlation > minCorrelation (0.7)
     ost1[..., 0, 0:3] = 1e6         # far away: isNeighbor never fires
-    _, acc_b, _, _, _ = expand_step(
+    _, acc_b, _, _, _, _ = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ1), jnp.asarray(ost1), jnp.asarray(cam_cells),
@@ -200,7 +200,7 @@ def test_skip_clauses_block_occupied_neighborhood():
     ost2[..., 0, 0:3] = centers[val].mean(0)
     ost2[..., 0, 3:6] = np.array([0, 0, 1.0])
     ost2[..., 0, 6] = 0.1
-    _, acc_c, _, _, _ = expand_step(
+    _, acc_c, _, _, _, _ = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ1), jnp.asarray(ost2), jnp.asarray(cam_cells),

@@ -195,11 +195,17 @@ def main():
         res_c = lc.refine_batch(scene, cfg_ctrl, pb, key, nr, True, 1)
         sync(res_c.batch.fitness)
 
-    # re-warm the HEAD arm after the control/realistic programs ran: the
-    # first head dispatch after other executables pays a one-off ~11 s
-    # re-warm on the tunnel (round 4 measured block 1 at 174.9 vs 470
-    # steady) — keep that out of the timed blocks
-    res_w = lc.refine_batch(scene, cfg, pb, key, nr, True, 1)
+    # untimed re-warm BLOCK for the head arm: the first timed block after
+    # the warmup/selftest/control phase consistently runs at ~0.4x the
+    # steady rate REGARDLESS of batch size or arm (round 4: 174.9 vs 470
+    # at B=1024, 203 vs 459 at B=256 — proportional, so not a fixed
+    # reload cost; a single re-warm dispatch did not absorb it). Run one
+    # full block's worth of untimed dispatches at the same cadence so the
+    # timed blocks start from steady state.
+    for i in range(reps):
+        res_w = lc.refine_batch(scene, cfg, pb,
+                                jax.random.fold_in(key, 10_000 + i),
+                                nr, True, 1)
     sync(res_w.batch.fitness)
 
     # steady state: nblocks independent timed blocks per arm, interleaved

@@ -18,9 +18,10 @@ numbers, SURVEY.md §6). Driver target: >= 50x (BASELINE.json).
 SELF-CALIBRATION (round 4): the axon tunnel's day-to-day throughput drift
 is ~±10% (BASELINE.md round 3) — larger than most kernel-level wins. The
 bench therefore (a) times BENCH_BLOCKS >= 4 independent blocks and reports
-the median + IQR, and (b) interleaves a pinned CONTROL arm — the round-3
-kernel path (pallas_roll_hoist=False) — through the same blocks, emitting
-both numbers plus their ratio. Cross-round comparisons should use
+the median + IQR, and (b) interleaves a pinned CONTROL arm — the
+roll-hoisted kernel variant (pallas_roll_hoist=True, e2e neutral vs the
+per-block default) — through the same blocks, emitting both numbers plus
+their ratio. Cross-round comparisons should use
 head_vs_control (tunnel-invariant) rather than raw patches/s. The
 realistic-gate acceptance fraction is also emitted so margin drift is
 visible across rounds (VERDICT r3 weak #5).
@@ -187,10 +188,12 @@ def main():
     else:
         racc, Br, rmed = -1, -1, float("nan")
 
-    # control arm: the pinned round-3 kernel path (per-block rolls). Same
+    # control arm: the pinned roll-HOISTED kernel variant (e2e neutral vs
+    # the per-block default, BASELINE.md round 4 — a distinct but stable
+    # second program, which is all the drift calibration needs). Same
     # workload, same jit machinery; compiled once here so its compile does
     # not land inside a timed block.
-    cfg_ctrl = cfg.replace(pallas_roll_hoist=False)
+    cfg_ctrl = cfg.replace(pallas_roll_hoist=True)
     if with_control:
         res_c = lc.refine_batch(scene, cfg_ctrl, pb, key, nr, True, 1)
         sync(res_c.batch.fitness)
@@ -268,7 +271,7 @@ def main():
         "realistic_median_dist": None if racc < 0 else round(rmed, 6),
     }
     if with_control:
-        out["control_r3_kernel"] = round(cpps, 2)
+        out["control_hoist_kernel"] = round(cpps, 2)
         out["control_iqr"] = [round(ctrl_iqr[0], 2), round(ctrl_iqr[1], 2)]
         out["head_vs_control"] = round(pps / cpps, 4)
     print(json.dumps(out))

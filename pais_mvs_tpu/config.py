@@ -136,15 +136,16 @@ class MvsConfig:
     # pltpu.roll before the block slice) from once per particle block to
     # once per (patch, camera) cell: all blocks share one 128-wide slice
     # centered on the whole-swarm mean warped center instead of per-block
-    # means (microbench variant R, tools/microbench_kernel.py — 6.56 vs
-    # 6.87 us/cell on v5e). Particles landing outside the shared slice are
-    # flagged invalid exactly like the per-block slice's bounds (the swarm
-    # depth range is ~1 px of parallax by construction, so block centers
-    # cluster within a few px of the cell mean; validity agreement is
-    # re-measured by bench.py's self-test every run). False restores the
-    # round-3 per-block rolls — bench.py times that arm as its in-run
-    # calibration control.
-    pallas_roll_hoist: bool = True
+    # means (microbench variant R, tools/microbench_kernel.py). Round-4
+    # A/B on-chip measured it e2e NEUTRAL (head_vs_control 0.999-1.007
+    # across three runs; the rolls hide under the MXU pipeline), and the
+    # shared slice's coverage is strictly narrower: the bench workload's
+    # p100 |u - cell-center| is 67.5 px vs the shared slice's +-64
+    # (tools/measure_footprint.py), so rare wide hypotheses the per-block
+    # slice covers can be BIG-fated under the hoist. Equal speed + strictly
+    # wider coverage -> per-block (False) is the default; bench.py times
+    # the hoisted variant as its pinned in-run calibration control arm.
+    pallas_roll_hoist: bool = False
 
     @property
     def patch_size(self) -> int:

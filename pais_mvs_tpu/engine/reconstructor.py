@@ -896,8 +896,12 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
     state, plane intersection, batched refine, insert-time re-check and
     occupancy update all on-device — then merges the accepted patches back
     into the arena. Parents whose candidates were deferred by the refine
-    budget are re-queued (nothing is dropped; the stall guard in the loop
-    bounds pathological re-queue cycles). See parallel/expansion.py for
+    budget are re-queued — EXCEPT when the stall guard fires (two
+    consecutive spill rounds with zero inserts: the occupancy cannot have
+    changed, so an identical frontier would re-spill to max_rounds), which
+    drops that round's deferred candidates and logs it. That guard is the
+    one bounded departure from the reference's never-drop queue.
+    See parallel/expansion.py for
     the semantics map vs mvs.cpp:529-601/792-898 and the one documented
     divergence (pre-round occupancy in the insert-time re-check).
     """
@@ -994,6 +998,7 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
             total_inserted += int(acc.sum())
         n_spill = int(np.asarray(spilled)[0])
         total_spilled += n_spill
+        requeued = False
         if n_spill:
             # re-queue the parents of budget-deferred candidates so they
             # regenerate next round (the reference's queue never drops a
@@ -1001,18 +1006,23 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
             # regenerated ones whose cells filled meanwhile. Stop after 2
             # consecutive zero-insert rounds: an insertion-free round
             # leaves the occupancy unchanged, so an identically-spilling
-            # frontier would loop to max_rounds without progress.
+            # frontier would loop to max_rounds without progress — the
+            # stall guard then DROPS that round's deferred candidates
+            # (the one bounded departure from the never-drop queue; it
+            # is logged as 'dropped (stall guard)' when it fires).
             stall_rounds = stall_rounds + 1 if not acc.any() else 0
             if stall_rounds < 2:
                 sp = np.asarray(sp_par)                       # [N] by slot
                 requeue = taken[sp[slot]]
                 a.expanded[requeue] = False
+                requeued = True
         else:
             stall_rounds = 0
         self._log(f"dist round {rnd}: {len(taken)} parents"
                   f" -> {int(acc.sum())} inserted"
                   f" (total {len(a.live_ids())})"
-                  + (f" [refine-budget spill {n_spill}, re-queued]"
+                  + (f" [refine-budget spill {n_spill}, "
+                     f"{'re-queued' if requeued else 'dropped (stall guard)'}]"
                      if n_spill else ""))
         # zero-accept rounds still make progress: the taken parents are
         # marked expanded, so the frontier drains and the top-of-loop

@@ -30,8 +30,8 @@ all_gather'ed (XLA lowers it to an ICI ring) and each shard filters the
 rows it owns. Payloads are a few KB per shard per round.
 
 Divergence vs the host path's serial insert loop (bounded, surfaced by
-the cloud-parity tests in tests/test_engine_distributed.py and the
-realistic-scene parity in tests/test_realistic.py):
+the cloud-parity tests in tests/test_engine_distributed.py, including
+test_expand_distributed_realistic_parity on the pawn-rig photo scene):
   * the insert-time re-check evaluates the correlation / isNeighbor
     clauses against the PRE-round occupancy (the host re-checks against
     the live grid which fills as it inserts); the intra-round density is
@@ -42,7 +42,11 @@ queue never drops, mvs.cpp:632-788): their parents are reported back in
 ``spilled_parents`` and the engine re-queues them — the parent regenerates
 its candidates next round, where skipNeighborCell prunes the ones whose
 cells filled meanwhile, exactly like a late queue pop against the live
-grid. ``spilled`` is therefore only ever transiently nonzero.
+grid. ``spilled`` is therefore only ever transiently nonzero, with one
+bounded exception: the engine's stall guard (reconstructor.py) drops a
+round's deferred candidates after two consecutive zero-insert spill
+rounds, since unchanged occupancy means an identical frontier would
+re-spill forever.
 """
 
 from __future__ import annotations

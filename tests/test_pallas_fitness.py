@@ -170,6 +170,23 @@ def test_roll_hoist_matches_per_block(problem, tiny_cfg):
     assert ok.sum() > 20
     np.testing.assert_allclose(h[ok], p[ok], rtol=1e-4, atol=1e-4)
 
+    # DEFAULT precision (bf16 matmuls) — the exact program bench.py's
+    # control arm runs on-device. Box values are identical rows either
+    # way; only the slice's integer column offset (hence the bf16
+    # contraction order and the hat-weight lane positions) differs, so
+    # agreement is op-order-rounding tight, far below the 0.08
+    # kernel-vs-jnp intensity-scale tolerance.
+    hb = np.asarray(patch_fitness_pallas(
+        scene, tiny_cfg.replace(pallas_roll_hoist=True), ref, cm, lod,
+        rays, pos, interpret=True))
+    pb = np.asarray(patch_fitness_pallas(
+        scene, tiny_cfg.replace(pallas_roll_hoist=False), ref, cm, lod,
+        rays, pos, interpret=True))
+    np.testing.assert_array_equal(hb >= 1e20, pb >= 1e20)
+    okb = hb < 1e20
+    assert okb.sum() > 20
+    np.testing.assert_allclose(hb[okb], pb[okb], rtol=0.05, atol=0.05)
+
 
 @pytest.mark.parametrize("level", [1, 2])
 def test_bf16_vpu_weight_builds_match(problem, tiny_cfg, level):

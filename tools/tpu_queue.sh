@@ -4,9 +4,14 @@
 # in dependency order, logging everything under /tmp/tpu_queue_r4/.
 #
 #  1. smoke      — bench.py at B=256, single block, no control: compiles
-#                  the roll-HOISTED fused kernel on the real chip and runs
-#                  the on-device parity self-test + realistic gate. A
-#                  Mosaic crash here means flip pallas_roll_hoist default.
+#                  the DEFAULT fused kernel on the real chip and runs the
+#                  on-device parity self-test + realistic gate. (The
+#                  non-default roll_hoist variant is compiled and gated in
+#                  step 2 as the bench control arm.) NOTE: this queue ran
+#                  to completion in round 4 while pallas_roll_hoist
+#                  defaulted to True; the default has since flipped to
+#                  per-block (BASELINE.md round 4) and BOTH arms passed
+#                  on-chip post-flip.
 #  1b. bf16-smoke— non-interpret compile of the bf16_vpu=2 kernel (ADVICE
 #                  r3 #3: that class verifies on CPU, fails on Mosaic).
 #  2. bench      — full self-calibrating bench: 4 blocks, median+IQR,

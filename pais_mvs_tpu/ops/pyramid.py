@@ -32,19 +32,30 @@ def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(g), 0, 255).astype(np.uint8)
 
 
-def _area_resample_axis0(img: np.ndarray, n_out: int) -> np.ndarray:
+def _antiderivative_axis0(img: np.ndarray):
+    """(f, F) for `_area_resample_axis0`: f the float64 signal, F its
+    running integral with F[0] = 0 (linear between integer positions).
+    Split out so a pyramid build can compute the level-0 integral ONCE
+    and share it across every level's resample (each full-res cumsum is
+    ~0.1 s at 4K and the reference semantics resample every level from
+    level 0, camera.cpp:69-92)."""
+    f = img.astype(np.float64)
+    F = np.concatenate([np.zeros((1, f.shape[1])),
+                        np.cumsum(f, axis=0)], axis=0)
+    return f, F
+
+
+def _area_resample_axis0(img: np.ndarray, n_out: int, fF=None) -> np.ndarray:
     """Exact 1-D area (box-overlap) resampling along axis 0 — the
     arbitrary-scale INTER_AREA rule — via the antiderivative trick:
     the mean of a piecewise-constant signal over [lo, hi] is
     (F(hi) - F(lo)) / (hi - lo) with F its piecewise-LINEAR integral,
     evaluated with interpolation. O(n) per output row instead of the
     dense [n_out, n_in] weight matrix (which is minutes of host time at
-    4K resolutions)."""
+    4K resolutions). ``fF``: optional precomputed `_antiderivative_axis0`
+    of ``img``."""
     n_in = img.shape[0]
-    f = img.astype(np.float64)
-    # F[k] = integral of the signal over [0, k]; F is linear between ints
-    F = np.concatenate([np.zeros((1, f.shape[1])),
-                        np.cumsum(f, axis=0)], axis=0)
+    f, F = _antiderivative_axis0(img) if fF is None else fF
     scale = n_in / n_out
     edges = np.arange(n_out + 1) * scale
     e0 = np.clip(np.floor(edges).astype(np.int64), 0, n_in)
@@ -56,9 +67,10 @@ def _area_resample_axis0(img: np.ndarray, n_out: int) -> np.ndarray:
     return box / width
 
 
-def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Separable area resampling of a 2-D image (float64 out)."""
-    tmp = _area_resample_axis0(img, out_h)
+def area_resize(img: np.ndarray, out_h: int, out_w: int, fF=None) -> np.ndarray:
+    """Separable area resampling of a 2-D image (float64 out). ``fF``:
+    optional precomputed axis-0 antiderivative of ``img``."""
+    tmp = _area_resample_axis0(img, out_h, fF)
     return _area_resample_axis0(tmp.T, out_w).T
 
 
@@ -121,14 +133,17 @@ def build_pyramid(gray0: np.ndarray, lod_ratio: float, max_lod: int):
     """
     h0, w0 = gray0.shape
     levels, edges, dims = [], [], []
+    fF0 = None
     for i in range(max_lod + 1):
         if i == 0:
             g = gray0.astype(np.float64)
         else:
+            if fF0 is None:
+                fF0 = _antiderivative_axis0(gray0)
             s = lod_ratio ** i
             oh = max(int(round(h0 * s)), 1)
             ow = max(int(round(w0 * s)), 1)
-            g = np.clip(np.round(area_resize(gray0, oh, ow)), 0, 255)
+            g = np.clip(np.round(area_resize(gray0, oh, ow, fF0)), 0, 255)
         levels.append(g.astype(np.float32))
         edges.append(sobel_magnitude(g).astype(np.float32))
         dims.append((g.shape[0], g.shape[1]))

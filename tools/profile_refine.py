@@ -46,6 +46,11 @@ def timeit(name, fn, *args, reps=3, scale=1.0):
 
 
 def main():
+    # persistent compile cache: the isolated phase jits are large and the
+    # axon remote-compile path is minutes when cold
+    from pais_mvs_tpu.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     cfg = MvsConfig(particle_num=15, max_iteration=30, dist_weighting=5.0,
                     batch_size=B, max_lod=6)
     sc = make_scene(num_cams=5, width=640, height=480, num_seeds=B + 64,

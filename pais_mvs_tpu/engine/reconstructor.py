@@ -517,16 +517,22 @@ class Reconstructor:
             out, iters = self._refine_all(jax.device_get(pb), is_seed=False,
                                           rounds=1)
             total_refined += N
-            keep = np.asarray(out.valid)
-            out = jax.tree.map(np.asarray, out)   # one transfer, not per-row
+            # _refine_all already device_get's and merges on the host —
+            # ``out`` is numpy from here on
+            keep = out.valid
             t_device += time.time() - t_dev0
 
-            # sequential insert in parent-priority order: the cell-density
+            # sequential insert in STRATEGY-POP order: the cell-density
             # clause AND the skipNeighborCell re-check both run against the
             # live grid state (cells fill as we insert, exactly as in the
             # reference's serial loop — without the re-check one wavefront
-            # round over-fills cells ~1.7x vs the serial oracle)
-            order = np.argsort(a.data["priority"][parents_kept], kind="stable")
+            # round over-fills cells ~1.7x vs the serial oracle).
+            # Candidates already arrive grouped by parent in the strategy's
+            # pop order (cam-outer/offset-inner within a parent, matching
+            # mvs.cpp:535-549), so arrival order IS the serial order — a
+            # priority re-sort here would invert worst-first and scramble
+            # breadth/depth-first (for best-first the two coincide).
+            order = np.arange(len(parents_kept))
             if self.use_native:
                 # one native pass decides + registers; rows then land in the
                 # arena in the same order, so ids line up
@@ -549,13 +555,12 @@ class Reconstructor:
                 self._append_rows(out, sel, is_seed=False)
                 inserted = len(sel)
             else:
-                out_np = jax.tree.map(np.asarray, out)
                 inserted = 0
                 for i in order:
                     if not keep[i]:
                         continue
-                    cm = out_np.cam_mask[i]
-                    ip = out_np.img_point[i]
+                    cm = out.cam_mask[i]
+                    ip = out.img_point[i]
                     if not self._insert_time_cell_filter(cm, ip):
                         continue
                     occ = [q for q in self.grids.cell(
@@ -563,7 +568,7 @@ class Reconstructor:
                                int(cy_kept[i])) if a.alive[q]]
                     if self._skip_neighbor_cell(occ, int(parents_kept[i])):
                         continue
-                    ids = self._append_rows(out_np, np.asarray([i]),
+                    ids = self._append_rows(out, np.asarray([i]),
                                             is_seed=False)
                     self.grids.insert_patch(int(ids[0]), cm, ip)
                     inserted += 1
@@ -883,7 +888,7 @@ class Reconstructor:
                   self.arena.normals(ids))
 
 
-def _expand_distributed(self, mesh=None, max_rounds: int = 64,
+def _expand_distributed(self, mesh=None, max_rounds: int = 10_000,
                         per_shard: int = 256, refine_budget=None,
                         autosave_path=None) -> int:
     """SPMD wavefront expansion over a cell-slab device mesh (the
@@ -974,8 +979,14 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
         centers[slot] = a.data["center"][taken]
         normals[slot] = a.normals(taken)
         # the strategy-order position doubles as the device-side serial
-        # rank for every cell-budget decision (sel indexes ``ordered``)
-        orank[slot] = sel.astype(np.float32)
+        # rank for every cell-budget decision. Renumber to the rank WITHIN
+        # the taken subset (same order, values < S*per_shard): the device
+        # key cord = orank*(4C+1)+sub is float32, and full-frontier
+        # positions would lose integer exactness past 2^24/(4C+1) parents
+        rank_in_taken = np.empty(len(sel), np.float32)
+        rank_in_taken[np.argsort(sel, kind="stable")] = \
+            np.arange(len(sel), dtype=np.float32)
+        orank[slot] = rank_in_taken
         valid[slot] = True
         pmask[slot] = a.data["cam_mask"][taken]
         if len(taken) == 0:
@@ -1032,6 +1043,17 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 64,
             self._dist_save_time = a.count // self.autosave_interval
             self.save_checkpoint(autosave_path)
             self._live_snapshot()
+    else:
+        # range exhausted (not frontier-drained): a round cap that leaves
+        # live unexpanded parents must be LOUD, or a truncated cloud looks
+        # like a finished run
+        left = a.live_ids()
+        left = int((~a.expanded[left]).sum())
+        if left:
+            self._log(f"WARNING: expand_distributed stopped at the "
+                      f"max_rounds={max_rounds} cap with {left} unexpanded "
+                      f"frontier patches remaining — the cloud is truncated "
+                      f"(raise max_rounds / per_shard to finish)")
     self.grids = None          # host grids rebuilt lazily for the filters
     self.stats["dist_expansion_s"] = time.time() - t0
     self.stats["dist_inserted"] = total_inserted

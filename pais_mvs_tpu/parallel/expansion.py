@@ -29,13 +29,20 @@ exchange of the simplified path cannot carry them — candidates are
 all_gather'ed (XLA lowers it to an ICI ring) and each shard filters the
 rows it owns. Payloads are a few KB per shard per round.
 
-Divergence vs the host path's serial insert loop (bounded, surfaced by
-the cloud-parity tests in tests/test_engine_distributed.py, including
+Divergences vs the host path's serial insert loop (both bounded and
+conservative — they can only REJECT patches the serial loop accepts,
+never accept ones it rejects — and both surfaced by the cloud-parity
+tests in tests/test_engine_distributed.py, including
 test_expand_distributed_realistic_parity on the pawn-rig photo scene):
   * the insert-time re-check evaluates the correlation / isNeighbor
     clauses against the PRE-round occupancy (the host re-checks against
     the live grid which fills as it inserts); the intra-round density is
     still enforced in strategy order via the rank caps.
+  * the within-round cellmate join builds its insert entries from the
+    PRE-join acceptance state, so a candidate can be blocked by an
+    earlier-order insert that the join itself later rejects (the serial
+    loop never registers a rejected insert). An exact mirror needs the
+    serial fixpoint; the one-pass join errs toward over-rejection only.
 
 Candidates past the per-shard refine budget are NOT lost (the reference's
 queue never drops, mvs.cpp:632-788): their parents are reported back in
@@ -46,7 +53,11 @@ grid. ``spilled`` is therefore only ever transiently nonzero, with one
 bounded exception: the engine's stall guard (reconstructor.py) drops a
 round's deferred candidates after two consecutive zero-insert spill
 rounds, since unchanged occupancy means an identical frontier would
-re-spill forever.
+re-spill forever. Re-queueing is PARENT-granular, so a re-queued parent
+also regenerates candidates that were refined and fitness-REJECTED in
+the earlier round; they re-refine under a fresh PSO key and can
+stochastically pass on retry — a divergence from the reference's
+refine-exactly-once queue pop that only exists under budget pressure.
 """
 
 from __future__ import annotations
@@ -245,12 +256,6 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
               (ncy2 >= 0) & (ncy2 < cam_cells[None, :, 1])
         vis2 = rb.cam_mask & inm                              # [R, C]
 
-        refcx = jnp.take_along_axis(ncx2, rb.ref_cam[:, None], 1)[:, 0]
-        refcomb = jnp.clip(rb.ref_cam * grid_h
-                           + jnp.take_along_axis(
-                               ncy2, rb.ref_cam[:, None], 1)[:, 0],
-                           0, CGH - 1)
-
         # gather the (small) per-row insert metadata to every shard
         normal_new = geom.spherical_to_normal(rb.normal_sph)
         st_new = jnp.concatenate(
@@ -261,8 +266,6 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
         a_vis = gather(vis2)
         a_ord = gather(rpay[:, 6])
         a_acc = gather(acc0)
-        a_rcx = gather(refcx)
-        a_rcomb = gather(refcomb)
         a_st = gather(st_new)
         a_ocell = gather(ocell)
         a_cnt0 = gather(rcnt0)
@@ -335,14 +338,13 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
         blocked |= a_cnt0 + n_before >= cap
         base_ok &= ~blocked
 
-        # intra-round budget at the refined reference cell, strategy order
-        own_r = (jnp.clip(a_rcx // slab_cols, 0, S - 1) == k) & base_ok
-        lcol_r = jnp.clip(a_rcx - k * slab_cols, 0, slab_cols - 1)
-        cell_r = jnp.where(own_r, lcol_r * CGH + a_rcomb, BIGCELL)
-        rank_r = _run_rank(cell_r, a_ord)
-        ok_r = own_r & (rank_r + occ[lcol_r, a_rcomb] < cap)
-        vote_r = jax.lax.psum(ok_r.astype(jnp.int32), PATCH_AXIS)
-        acc_all = base_ok & (vote_r > 0)                      # [S*R]
+        # NOTE: no extra budget gate on the REFINED reference cell — the
+        # host mirror has none (tg_batch_insert gates on the ORIGINAL
+        # candidate cell via the live-grid skip re-check, replicated above
+        # by the a_cnt0 + n_before clause, and on the all-visible-cells
+        # density vote, replicated by dens_ok). Cells may exceed the cap
+        # post-insert in both paths: the cap gates candidates, not storage.
+        acc_all = base_ok                                     # [S*R]
         acc = jax.lax.dynamic_slice_in_dim(acc_all, k * R, R)
 
         # ---- occupancy update: register every accepted patch in EVERY

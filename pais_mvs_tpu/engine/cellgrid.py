@@ -15,22 +15,39 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 
-class CellGrids:
-    def __init__(self, widths, heights, cell_size: int):
-        self.cell_size = cell_size
-        self.width = [int(math.ceil(w / cell_size)) for w in widths]
-        self.height = [int(math.ceil(h / cell_size)) for h in heights]
-        self.cells: Dict[Tuple[int, int, int], List[int]] = {}
+class GridCoordsMixin:
+    """Shared coordinate math for the Python and native cell grids.
+
+    One copy ONLY: the native/Python bit-parity requirement means any
+    drift between the two grids' coordinate conventions (e.g. int()
+    truncation vs floor — identical here because runtime filtering
+    guarantees non-negative in-frame image points for registered
+    patches, mirroring the reference's (int) casts in cellmap.cpp)
+    silently breaks the parity tests."""
+
+    cell_size: int
+
+    @staticmethod
+    def grid_dims(sizes, cell_size: int):
+        return [int(math.ceil(s / cell_size)) for s in sizes]
 
     def in_map(self, cam: int, cx: int, cy: int) -> bool:
         return 0 <= cx < self.width[cam] and 0 <= cy < self.height[cam]
 
-    def cell(self, cam: int, cx: int, cy: int) -> List[int]:
-        return self.cells.get((cam, cx, cy), [])
-
     def cell_of(self, img_point) -> Tuple[int, int]:
         return (int(img_point[0] / self.cell_size),
                 int(img_point[1] / self.cell_size))
+
+
+class CellGrids(GridCoordsMixin):
+    def __init__(self, widths, heights, cell_size: int):
+        self.cell_size = cell_size
+        self.width = self.grid_dims(widths, cell_size)
+        self.height = self.grid_dims(heights, cell_size)
+        self.cells: Dict[Tuple[int, int, int], List[int]] = {}
+
+    def cell(self, cam: int, cx: int, cy: int) -> List[int]:
+        return self.cells.get((cam, cx, cy), [])
 
     def all_keys(self):
         """Sorted (cam, cx, cy) keys of every non-empty cell."""

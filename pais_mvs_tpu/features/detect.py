@@ -134,24 +134,26 @@ def detect_keypoints(img: jnp.ndarray, num_octaves: int = 4, scales: int = 3,
         lvl = idx // (H * W)
         yy = (idx % (H * W)) // W
         xx = idx % W
-        # quadratic sub-pixel offset from the per-level DoG maps
+        # quadratic sub-pixel offset from the per-level DoG maps. Index
+        # (level, y, x) in ONE gather per tap: `dstack[lvl + 1]` with a
+        # traced lvl would materialize a [K, H, W] plane-per-keypoint
+        # intermediate (~7 GB at 4K) because the gather-of-gather does
+        # not fuse.
         dstack = jnp.stack(dogs, 0)                      # [S+2, H, W]
-        d = dstack[lvl + 1]
-        gx = 0.5 * (d[jnp.arange(k_per_octave), yy,
-                      jnp.clip(xx + 1, 0, W - 1)]
-                    - d[jnp.arange(k_per_octave), yy,
-                        jnp.clip(xx - 1, 0, W - 1)])
-        gy = 0.5 * (d[jnp.arange(k_per_octave),
-                      jnp.clip(yy + 1, 0, H - 1), xx]
-                    - d[jnp.arange(k_per_octave),
-                        jnp.clip(yy - 1, 0, H - 1), xx])
-        c = d[jnp.arange(k_per_octave), yy, xx]
-        hxx = (d[jnp.arange(k_per_octave), yy, jnp.clip(xx + 1, 0, W - 1)]
-               + d[jnp.arange(k_per_octave), yy, jnp.clip(xx - 1, 0, W - 1)]
-               - 2 * c)
-        hyy = (d[jnp.arange(k_per_octave), jnp.clip(yy + 1, 0, H - 1), xx]
-               + d[jnp.arange(k_per_octave), jnp.clip(yy - 1, 0, H - 1), xx]
-               - 2 * c)
+        l1 = lvl + 1
+        xp = jnp.clip(xx + 1, 0, W - 1)
+        xm = jnp.clip(xx - 1, 0, W - 1)
+        yp = jnp.clip(yy + 1, 0, H - 1)
+        ym = jnp.clip(yy - 1, 0, H - 1)
+        d_xp = dstack[l1, yy, xp]
+        d_xm = dstack[l1, yy, xm]
+        d_yp = dstack[l1, yp, xx]
+        d_ym = dstack[l1, ym, xx]
+        c = dstack[l1, yy, xx]
+        gx = 0.5 * (d_xp - d_xm)
+        gy = 0.5 * (d_yp - d_ym)
+        hxx = d_xp + d_xm - 2 * c
+        hyy = d_yp + d_ym - 2 * c
         ox = jnp.clip(-gx / jnp.where(jnp.abs(hxx) > 1e-8, hxx, 1.0),
                       -0.5, 0.5)
         oy = jnp.clip(-gy / jnp.where(jnp.abs(hyy) > 1e-8, hyy, 1.0),

@@ -50,9 +50,14 @@ def match_pair(desc1, desc2, xy1, xy2, mask1, mask2, F,
     sim = jnp.where(mask1[:, None] & mask2[None, :], sim, -2.0)
     # L2^2 = 2 - 2 sim for unit vectors; nearest = max sim
     best2 = jnp.argmax(sim, axis=1)                         # [K]
-    s_sorted = jax.lax.top_k(sim, 2)[0]                     # [K, 2]
-    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s_sorted[:, 0], 0.0))
-    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s_sorted[:, 1], 0.0))
+    # two iterative argmax extractions instead of lax.top_k: top_k lowers
+    # to a row sort, milliseconds on small rows here (same pattern as
+    # ops/pso.py::_local_best; CLAUDE.md platform rules)
+    s1 = jnp.take_along_axis(sim, best2[:, None], axis=1)[:, 0]
+    sim2 = sim.at[jnp.arange(sim.shape[0]), best2].set(-2.0)
+    s2 = jnp.max(sim2, axis=1)
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 0.0))
     pass_ratio = d1 <= ratio * d2
     best1_of2 = jnp.argmax(sim, axis=0)                     # [K]
     mutual = best1_of2[best2] == jnp.arange(desc1.shape[0])
@@ -64,7 +69,7 @@ def match_pair(desc1, desc2, xy1, xy2, mask1, mask2, F,
     den = jnp.sqrt(l2[:, 0] ** 2 + l2[:, 1] ** 2)
     epi = num / jnp.where(den > 0, den, 1.0)
     good = (mask1 & mask2[best2] & mutual & pass_ratio &
-            (epi <= max_epipolar_dist) & (s_sorted[:, 0] > -2.0))
+            (epi <= max_epipolar_dist) & (s1 > -2.0))
     return PairMatches(idx2=best2.astype(jnp.int32), good=good)
 
 

@@ -100,18 +100,17 @@ def generate_seed_patches(params: Sequence[CameraParams],
         desc = np.zeros((k_tot, 128), dtype=np.float32)
         oct_np = np.asarray(kp.octave)
         for o, g in enumerate(gaussians):
-            sel = np.nonzero(oct_np == o)[0][:k_per_octave]
+            sel = np.nonzero(oct_np == o)[0]
             if not len(sel):
                 continue
-            # pad to the static k_per_octave: a ragged batch per (image,
-            # octave) would trigger one XLA compile per novel count
-            # (~0.5 s each on the tunneled backend; ADVICE r1)
-            pad = k_per_octave - len(sel)
-            idx = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)]) \
-                if pad else sel
-            d = dsc.describe_octave(g, kp.xy_oct[idx], kp.sigma_oct[idx],
-                                    kp.level[idx])
-            desc[sel] = np.asarray(d)[:len(sel)]
+            # every present octave contributes exactly k_per_octave rows
+            # (detect_keypoints appends full fixed-size masked batches,
+            # never ragged ones), so the describe batch shape is static —
+            # one XLA compile total, not one per novel count (ADVICE r1)
+            assert len(sel) == k_per_octave, (o, len(sel))
+            d = dsc.describe_octave(g, kp.xy_oct[sel], kp.sigma_oct[sel],
+                                    kp.level[sel])
+            desc[sel] = np.asarray(d)
         descs.append(jnp.asarray(desc))
         xys.append(kp.xy)
         masks.append(kp.mask)

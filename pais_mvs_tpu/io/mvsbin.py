@@ -60,16 +60,34 @@ def write_mvs(path: str, cfg: MvsConfig, cameras: List[CameraParams],
             f.write(struct.pack("<d", float(c.radial_distortion)))
         M = len(patches.centers)
         f.write(f"PATCHES {M}\n".encode())
-        for m in range(M):
-            f.write(struct.pack("<3d", *patches.centers[m].astype(np.float64)))
-            f.write(struct.pack("<2d",
-                                *patches.normal_sph[m].astype(np.float64)))
-            idx = np.nonzero(patches.cam_masks[m])[0]
-            f.write(struct.pack("<i", len(idx)))
-            for ci in idx:
-                f.write(struct.pack("<i", int(ci)))
-            f.write(struct.pack("<d", float(patches.fitness[m])))
-            f.write(struct.pack("<d", float(patches.correlation[m])))
+        # vectorized record assembly — this is the autosave hot path
+        # (every ~500 new patches): per-record layout is
+        # <3d center><2d sph><i camNum><camNum x i camIdx><d fit><d corr>
+        if M:
+            k = patches.cam_masks.astype(bool).sum(axis=1).astype(np.int64)
+            rec_len = 24 + 16 + 4 + 4 * k + 8 + 8
+            off = np.concatenate([[0], np.cumsum(rec_len)])
+            out = np.zeros(int(off[-1]), dtype=np.uint8)
+            fixed = np.concatenate(
+                [patches.centers.astype("<f8"),
+                 patches.normal_sph.astype("<f8")], axis=1)     # [M, 5]
+            out[off[:-1, None] + np.arange(40)] = \
+                fixed.view(np.uint8).reshape(M, 40)
+            out[off[:-1, None] + 40 + np.arange(4)] = \
+                k.astype("<i4").view(np.uint8).reshape(M, 4)
+            mi, ci = np.nonzero(patches.cam_masks)
+            # rank of each camIdx within its patch row (mi is row-sorted)
+            rank = np.arange(len(mi)) - np.repeat(
+                np.concatenate([[0], np.cumsum(k)[:-1]]), k)
+            pos = off[mi] + 44 + 4 * rank
+            out[pos[:, None] + np.arange(4)] = \
+                ci.astype("<i4").view(np.uint8).reshape(-1, 4)
+            tail = np.stack([patches.fitness.astype("<f8"),
+                             patches.correlation.astype("<f8")],
+                            axis=1)                              # [M, 2]
+            out[(off[:-1] + 44 + 4 * k)[:, None] + np.arange(16)] = \
+                tail.view(np.uint8).reshape(M, 16)
+            f.write(out.tobytes())
 
 
 def _read_line(f) -> str:
@@ -91,8 +109,12 @@ def read_mvs(path: str) -> MvsFile:
         if header[0] == "MVS_V3":
             cfg = unpack_config_binary(f.read(MVS_CONFIG_STRUCT_SIZE))
         tok = _read_line(f).split()
-        assert tok[0] == "CAMERAS", tok
+        if len(tok) != 2 or tok[0] != "CAMERAS":
+            raise ValueError(f"{path}: corrupt MVS file (expected "
+                             f"'CAMERAS n', got {tok!r})")
         n_cams = int(tok[1])
+        if not 0 <= n_cams < 100_000:
+            raise ValueError(f"{path}: implausible camera count {n_cams}")
         cameras = []
         for _ in range(n_cams):
             (ln,) = struct.unpack("<i", f.read(4))
@@ -106,8 +128,12 @@ def read_mvs(path: str) -> MvsFile:
                 file_name=name, focal=focal, principal=principal,
                 quaternion=quaternion, center=center, radial_distortion=rd))
         tok = _read_line(f).split()
-        assert tok[0] == "PATCHES", tok
+        if len(tok) != 2 or tok[0] != "PATCHES":
+            raise ValueError(f"{path}: corrupt MVS file (expected "
+                             f"'PATCHES n', got {tok!r})")
         M = int(tok[1])
+        if M < 0:
+            raise ValueError(f"{path}: negative patch count {M}")
         centers = np.zeros((M, 3))
         sph = np.zeros((M, 2))
         masks = np.zeros((M, n_cams), dtype=bool)
@@ -117,6 +143,11 @@ def read_mvs(path: str) -> MvsFile:
             centers[m] = struct.unpack("<3d", f.read(24))
             sph[m] = struct.unpack("<2d", f.read(16))
             (k,) = struct.unpack("<i", f.read(4))
+            if not 0 <= k <= n_cams:
+                # a truncated/corrupt autosave must fail loudly, not drive
+                # a multi-GB read loop off a garbage camNum
+                raise ValueError(f"{path}: corrupt patch record {m} "
+                                 f"(camNum {k} of {n_cams} cameras)")
             for _ in range(k):
                 (ci,) = struct.unpack("<i", f.read(4))
                 if 0 <= ci < n_cams:

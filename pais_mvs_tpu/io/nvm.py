@@ -140,6 +140,9 @@ def save_nvm(path: str, cameras: List[CameraParams],
         if centers is None or len(centers) == 0:
             f.write("0\n")
             return
+        if cam_masks is None or img_points is None:
+            raise ValueError("save_nvm: cam_masks and img_points are "
+                             "required when centers is non-empty")
         f.write(f"{len(centers)}\n")
         for m in range(len(centers)):
             x, y, z = centers[m]

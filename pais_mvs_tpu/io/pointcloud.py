@@ -24,11 +24,16 @@ def write_ply(path: str, centers: np.ndarray, normals: np.ndarray,
         f.write("property float nx\nproperty float ny\nproperty float nz\n")
         f.write("property uchar diffuse_red\nproperty uchar diffuse_green\n"
                 "property uchar diffuse_blue\nend_header\n")
-        for i in range(N):
-            p, n, c = centers[i], normals[i], colors[i]
-            f.write(f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g} "
-                    f"{n[0]:.9g} {n[1]:.9g} {n[2]:.9g} "
-                    f"{int(c[0])} {int(c[1])} {int(c[2])}\n")
+        # vectorized row formatting: this runs on the autosave/snapshot
+        # hot path (every ~500 patches), where a per-row f.write loop is
+        # seconds of host time at 100k+ patches
+        if N:
+            body = np.concatenate(
+                [np.asarray(centers, np.float64),
+                 np.asarray(normals, np.float64),
+                 np.asarray(colors, np.float64)], axis=-1)
+            np.savetxt(f, body,
+                       fmt="%.9g %.9g %.9g %.9g %.9g %.9g %d %d %d")
 
 
 def read_ply(path: str):
@@ -37,10 +42,14 @@ def read_ply(path: str):
     Returns (centers [N,3], normals [N,3], colors [N,3])."""
     with open(path, "r") as f:
         line = f.readline().strip()
-        assert line == "ply"
+        if line != "ply":
+            raise ValueError(f"{path}: not a PLY file")
         n = 0
         while True:
-            line = f.readline().strip()
+            raw = f.readline()
+            if raw == "":                       # EOF before end_header
+                raise ValueError(f"{path}: truncated PLY header")
+            line = raw.strip()
             if line.startswith("element vertex"):
                 n = int(line.split()[-1])
             if line == "end_header":

@@ -15,6 +15,8 @@ import sys
 
 import numpy as np
 
+from pais_mvs_tpu.engine.cellgrid import GridCoordsMixin
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "runtime.cpp")
 _SO = os.path.join(_DIR, "libtmvs_runtime.so")
@@ -113,8 +115,10 @@ def available() -> bool:
     return LIB is not None
 
 
-class NativeCellGrids:
-    """Drop-in counterpart of engine.cellgrid.CellGrids backed by C++."""
+class NativeCellGrids(GridCoordsMixin):
+    """Drop-in counterpart of engine.cellgrid.CellGrids backed by C++.
+    Coordinate math (cell_of / in_map / grid dims) is SHARED with the
+    Python grid via GridCoordsMixin — the bit-parity contract."""
 
     def __init__(self, widths, heights, cell_size: int):
         assert LIB is not None
@@ -122,20 +126,13 @@ class NativeCellGrids:
         self._w = np.asarray(widths, dtype=np.int32)
         self._h = np.asarray(heights, dtype=np.int32)
         self._g = LIB.tg_create(len(self._w), self._w, self._h, cell_size)
-        self.width = [(w + cell_size - 1) // cell_size for w in self._w]
-        self.height = [(h + cell_size - 1) // cell_size for h in self._h]
+        self.width = self.grid_dims([int(w) for w in self._w], cell_size)
+        self.height = self.grid_dims([int(h) for h in self._h], cell_size)
 
     def __del__(self):
         if LIB is not None and getattr(self, "_g", None):
             LIB.tg_destroy(self._g)
             self._g = None
-
-    def in_map(self, cam: int, cx: int, cy: int) -> bool:
-        return 0 <= cx < self.width[cam] and 0 <= cy < self.height[cam]
-
-    def cell_of(self, img_point):
-        return (int(img_point[0] / self.cell_size),
-                int(img_point[1] / self.cell_size))
 
     def cell(self, cam: int, cx: int, cy: int):
         n = LIB.tg_cell_count(self._g, cam, cx, cy)

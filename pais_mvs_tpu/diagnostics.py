@@ -58,7 +58,10 @@ def warped_windows(scene: Scene, cfg: MvsConfig, center, normal_sph,
     vals, vok = F.bilinear_gather(pyrs.images, pyrs.yoff, cam_idx, lod_cb, uv,
                                   pyrs.dims, 0.0, 1.0)
     vok = vok & (w != 0)
-    out = jnp.where(vok, vals, jnp.nan).reshape(C, W, W)
+    # window_offsets is X-MAJOR (offs[i*W+j] = (ax[i], ax[j])), so the
+    # raw reshape's first window axis is x; PNG rows are y — transpose so
+    # the saved mosaics match the source photo orientation
+    out = jnp.where(vok, vals, jnp.nan).reshape(C, W, W).transpose(0, 2, 1)
     valid = jnp.all(vok, axis=-1) & hok[0]
     mask = jnp.asarray(cam_mask, bool)
     return np.asarray(out), np.asarray(valid & mask)
@@ -154,6 +157,7 @@ for (const p of P) {{ cx+=p[0]; cy+=p[1]; cz+=p[2]; }}
 cx/=P.length; cy/=P.length; cz/=P.length;
 let scale0=0;
 for (const p of P) scale0=Math.max(scale0, Math.hypot(p[0]-cx,p[1]-cy,p[2]-cz));
+scale0=Math.max(scale0, 1e-9);  // all-coincident centers: avoid NaN geometry
 let yaw=0.5, pitch=-0.4, zoom=1.0, mode=0, frac=1.0, anim=null;
 let showN=false, showC=true;
 let proj=[];               // [sx, sy, depth, point] of the last draw

@@ -79,13 +79,16 @@ class PyramidSet:
     :w_l]`` (bands are 8-row aligned; memory is sum of level heights, not
     L x level-0 height)."""
 
-    images: Any     # [C, Ha, Wa] f32, gray 0..255 (0 = background/pad)
-    edges: Any      # [C, Ha, Wa] f32 in [0, 1]
+    images: Any     # [C, Ha, Wa] BF16, gray 0..255 (0 = background/pad;
+                    # level-0 integer intensities are bf16-exact — cast to
+                    # f32 before any pltpu.roll/arithmetic: bf16 rolls
+                    # crash Mosaic, see build_scene's cast note)
+    edges: Any      # [C, Ha, Wa] bf16 in [0, 1]
     dims: Any       # [C, L, 2] int32 (h, w) per level; (0, 0) where absent
     rgb: Any        # [C, Hmax, Wmax, 3] uint8 level-0 color (one gather per
                     # accepted patch; f32 here would cost 4x the HBM — 1.15 GiB
                     # at 4K x 8 cams)
-    var: Any        # [C, Ha, Wa] f32 patch-window variance (-1 = OOB)
+    var: Any        # [C, Ha, Wa] bf16 patch-window variance (-1 = OOB)
     yoff: Any       # [L+1] int32 atlas band row offsets (last = Ha)
 
     @property

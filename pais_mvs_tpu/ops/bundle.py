@@ -293,10 +293,18 @@ def bundle_adjust_sharded(problem: BaProblem, mesh: Mesh, axis: str,
         ck = max(1, min(chunk, points.shape[0]))
 
         def rms_only(R, center, points):
-            _, _, sse, n = _reduced_system(
-                R, center, focal, principal, points, obs, mask, damping, ck)
+            # residual-only pass (same as the single-device rms): the full
+            # _reduced_system assembles Hpp inverses + [6C,6C] Schur
+            # einsums just to read sse/n — ~2x per-iteration device work
+            def per_track(X, ob, mk):
+                def per_cam(c):
+                    r, _, _, z = _residual_and_jac(
+                        R[c], center[c], focal[c], principal[c], X, ob[c])
+                    return jnp.sum(r * r) * (mk[c] & (z > 0)).astype(X.dtype)
+                return jnp.sum(jax.vmap(per_cam)(jnp.arange(C)))
+            sse = jnp.sum(jax.vmap(per_track)(points, obs, mask))
             sse = jax.lax.psum(sse, axis)
-            n = jax.lax.psum(n, axis)
+            n = jax.lax.psum(jnp.sum(mask), axis)
             return jnp.sqrt(sse / (2.0 * jnp.maximum(n, 1)))
 
         hist.append(rms_only(R, center, points))

@@ -163,35 +163,6 @@ def ray_plane_intersect(origin, direction, plane_point, plane_normal):
 # plane-induced homographies
 # ---------------------------------------------------------------------------
 
-def inv3x3(M):
-    """Closed-form (adjugate) 3x3 inverse with max-abs row/col scaling for
-    f32 conditioning. Batched over leading dims. Returns (inv, det_ok).
-
-    Utility primitive: the homography path deliberately does NOT use it
-    (plane_homography inverts a triangular K in closed form instead)."""
-    s = jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True)
-    s = jnp.where(s == 0, 1.0, s)
-    A = M / s
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    co00 = e * i - f * h
-    co01 = c * h - b * i
-    co02 = b * f - c * e
-    co10 = f * g - d * i
-    co11 = a * i - c * g
-    co12 = c * d - a * f
-    co20 = d * h - e * g
-    co21 = b * g - a * h
-    co22 = a * e - b * d
-    det = a * co00 + b * co10 + c * co20
-    ok = jnp.abs(det) > 1e-20
-    inv_det = 1.0 / jnp.where(ok, det, 1.0)
-    adj = jnp.stack([co00, co01, co02, co10, co11, co12, co20, co21, co22],
-                    axis=-1).reshape(M.shape)
-    return adj * (inv_det / s[..., 0, 0])[..., None, None], ok
-
-
 def plane_homography(center, normal, R_ref, T_ref, f_ref, pp_ref,
                      R_tgt, T_tgt, f_tgt, pp_tgt, lod_scale):
     """Plane-induced homography mapping reference-image pixels (at a given

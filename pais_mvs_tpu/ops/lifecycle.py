@@ -453,19 +453,18 @@ def prepare_seeds(scene: Scene, cfg: MvsConfig, pb: PatchBatch) -> PatchBatch:
     B = pb.capacity
     C = rig.num_cameras
 
-    def one(ipts, mask, old_center):
+    def one(ipts, mask):
         def cam_dir(c):
             return geom.pixel_to_world_dir(ipts[c], rig.R[c], rig.center[c],
                                            rig.focal[c], rig.principal[c])
         dirs = jax.vmap(cam_dir)(jnp.arange(C))
         return geom.triangulate_rays(rig.center, dirs, mask)
-    centers = jax.vmap(one)(pb.img_point, pb.cam_mask, pb.center)
+    centers = jax.vmap(one)(pb.img_point, pb.cam_mask)
     # keep original center if triangulation blew up
     ok = jnp.all(jnp.isfinite(centers), axis=-1)
     centers = jnp.where(ok[:, None], centers, pb.center)
 
-    normal = geom.estimated_normal(centers, rig.center[None].repeat(B, 0),
-                                   pb.cam_mask)
+    normal = geom.estimated_normal(centers, rig.center[None], pb.cam_mask)
     sph = geom.normal_to_spherical(normal)
     valid = pb.valid & (pb.cam_count() >= cfg.min_cam_num)
     return pb.replace(center=centers, normal_sph=sph, valid=valid)

@@ -210,7 +210,8 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
     # [..., 1] axis: a size-1 minor dim still tiles to 128 lanes, making
     # the buffer (and every per-step slice read) 32x its logical size —
     # the broadcast happens at the use sites instead.
+    n_streams = 4 if enable_gln else 2
     rand_all = jax.random.uniform(
-        jax.random.fold_in(key, 7), (max_iteration, 4, B, P))
+        jax.random.fold_in(key, 7), (max_iteration, n_streams, B, P))
     cf, _ = jax.lax.scan(step, c0, (jnp.arange(max_iteration), rand_all))
     return PsoResult(cf.gbest, cf.gbest_fit, cf.iters)

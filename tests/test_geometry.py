@@ -94,15 +94,6 @@ def test_ray_plane_intersect():
     np.testing.assert_allclose(np.asarray(p[:2]), [0.2, 0.4], atol=1e-5)
 
 
-def test_inv3x3_matches_numpy():
-    rng = np.random.default_rng(4)
-    M = rng.normal(size=(20, 3, 3)) * 100.0
-    inv, ok = geom.inv3x3(jnp.asarray(M, dtype=jnp.float32))
-    assert bool(jnp.all(ok))
-    np.testing.assert_allclose(np.asarray(inv), np.linalg.inv(M),
-                               rtol=2e-3, atol=1e-5)
-
-
 def test_plane_homography_transfers_plane_points():
     """Points on the patch plane must map ref-pixel -> target-pixel exactly."""
     rng = np.random.default_rng(5)

@@ -58,9 +58,11 @@ def enable_persistent_cache(base: str | None = None,
         # compiles are cheap. The cache exists for the slow axon remote
         # compiles. jax.config.jax_platforms is consulted (not the
         # backend) so this never triggers backend init — which hangs
-        # when the tunnel is down.
+        # when the tunnel is down. jax_platforms=None (a host with no
+        # plugin forcing a platform list) defaults to the CPU backend,
+        # so require an EXPLICIT non-cpu platform before enabling.
         plats = jax.config.jax_platforms
-        if plats is not None and set(plats.split(",")) == {"cpu"}:
+        if plats is None or not (set(plats.split(",")) - {"cpu"}):
             return
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir",

@@ -122,20 +122,9 @@ def fitness_np(scene: NpScene, cfg: MvsConfig, ref_cam: int, cam_idx,
         vals = np.zeros((W2, K))
         bad = False
         for k, cam in enumerate(cams):
-            if cam == ref_cam:
-                H = np.eye(3)
-            else:
-                R_rel = scene.R[cam] @ Rr.T
-                t_rel = scene.T[cam] - R_rel @ scene.T[ref_cam]
-                M = R_rel + np.outer(t_rel, n_r[p]) / d_r[p]
-                f_t, pp_t = scene.focal[cam], scene.principal[cam]
-                LK_t = np.array([[s * f_t[0], 0, s * pp_t[0]],
-                                 [0, s * f_t[1], s * pp_t[1]], [0, 0, 1.0]])
-                f_r, pp_r = scene.focal[ref_cam], scene.principal[ref_cam]
-                LK_r_inv = np.array([
-                    [1 / (s * f_r[0]), 0, -pp_r[0] / f_r[0]],
-                    [0, 1 / (s * f_r[1]), -pp_r[1] / f_r[1]], [0, 0, 1.0]])
-                H = LK_t @ M @ LK_r_inv
+            # one homography implementation for the whole oracle: the
+            # fitness path and _remove_invisible's warp must never drift
+            H = _homography(scene, None, n_r[p], d_r[p], ref_cam, cam, s)
             w = H[2, 0] * win[:, 0] + H[2, 1] * win[:, 1] + H[2, 2]
             u = (H[0, 0] * win[:, 0] + H[0, 1] * win[:, 1] + H[0, 2]) / w
             v = (H[1, 0] * win[:, 0] + H[1, 1] * win[:, 1] + H[1, 2]) / w
@@ -487,8 +476,18 @@ def refine_oracle(scene: NpScene, cfg: MvsConfig, rng, p: OraclePatch,
     if p.drop:
         return
     _set_lod(scene, cfg, p)
-    max_rounds = len(p.cam_idx) if seed_patch else 1
+    # while (refCam or camNum changed) && count++ <= totalCamNum
+    # (patch.cpp:140): up to totalCamNum+1 PSO rounds; TYPE_EXPAND breaks
+    # AFTER the post-PSO state updates, and the updates (removeInvisible,
+    # refCam, depth/ray/range, LOD) run after EVERY round including the
+    # last — the priority's (LOD+1) factor sees the post-refine LOD
+    max_rounds = len(p.cam_idx) + 1
     for _ in range(max_rounds):
+        if len(p.cam_idx) < cfg.min_cam_num:
+            p.drop = True
+            return
+        old_ref = p.ref_cam
+        cams_before = len(p.cam_idx)      # the reference compares COUNTS
         if seed_patch:
             lo_t, hi_t = 0.0, np.pi
             span_p = np.pi / 2.0
@@ -506,21 +505,21 @@ def refine_oracle(scene: NpScene, cfg: MvsConfig, rng, p: OraclePatch,
         p.depth = float(gbest[2])
         p.center = p.ray * p.depth + scene.center[p.ref_cam]
         if p.fitness > cfg.max_fitness:
-            p.drop = True
-            break
-        cams_before = list(p.cam_idx)
+            p.drop = True                 # patch.cpp:157-160: early return
+            return
         _remove_invisible(scene, cfg, p)
         if p.drop:
             break
-        old_ref = p.ref_cam
         _set_ref_cam(scene, p)
-        if p.ref_cam == old_ref and p.cam_idx == cams_before:
-            break
         _set_depth_and_ray(scene, p)
         _set_depth_range(scene, cfg, p, neighbor_radius)
         if p.drop:
             break
         _set_lod(scene, cfg, p)
+        if not seed_patch:                # TYPE_EXPAND (patch.cpp:168)
+            break
+        if p.ref_cam == old_ref and len(p.cam_idx) == cams_before:
+            break
     _set_priority(scene, p)
     _set_image_points(scene, p)
 
@@ -562,7 +561,13 @@ def runtime_filter_oracle(scene: NpScene, cfg: MvsConfig, p: OraclePatch,
         for c in p.cam_idx:
             cx = int(p.img_pts[c][0] / cfg.cell_size)
             cy = int(p.img_pts[c][1] / cfg.cell_size)
-            if len(grids.cell(c, cx, cy)) >= cfg.max_cell_patch_num:
+            cell = grids.cell(c, cx, cy)
+            # reference (mvs.cpp:888-890): a patch found in one of its own
+            # cells passes the clause outright — an already-inserted
+            # parent re-checked at pop time is never cell-capped out
+            if p.pid >= 0 and p.pid in cell:
+                return True
+            if len(cell) >= cfg.max_cell_patch_num:
                 full += 1
         if full == len(p.cam_idx):
             return False
@@ -649,6 +654,11 @@ class OraclePipeline:
         for p in self.patches:
             refine_oracle(self.scene, self.cfg, self.rng, p,
                           self.neighbor_radius, seed_patch=True)
+            # pth.refine(); pth.removeInvisibleCamera(); (mvs.cpp:214-215)
+            # — the follow-up pass recomputes correlation at the final
+            # state before runtimeFiltering sees it
+            if not p.drop:
+                _remove_invisible(self.scene, self.cfg, p)
             if not runtime_filter_oracle(self.scene, self.cfg, p):
                 p.drop = True
         self.patches = [p for p in self.patches if not p.drop]
@@ -708,6 +718,10 @@ class OraclePipeline:
                         continue
                     refine_oracle(sc, cfg, self.rng, child,
                                   self.neighbor_radius, seed_patch=False)
+                    # expPatch.refine(); expPatch.removeInvisibleCamera();
+                    # (mvs.cpp:573-574) before insertPatch's filter
+                    if not child.drop:
+                        _remove_invisible(sc, cfg, child)
                     if not runtime_filter_oracle(sc, cfg, child, grids):
                         continue
                     child.pid = len(self.patches)
@@ -716,6 +730,11 @@ class OraclePipeline:
                                        child.img_pts)
                     queue.append(child.pid)
         self.patches = [p for p in self.patches if not p.drop]
+        # expansionPatches ends with setNeighborRadius (mvs.cpp:273-274):
+        # the post-filters run with the radius of the EXPANDED cloud
+        for i, p in enumerate(self.patches):
+            p.pid = i
+        self._update_neighbor_radius()
 
     def _mask_of(self, p: OraclePatch):
         m = np.zeros(len(self.scene.R), dtype=bool)

@@ -50,14 +50,3 @@ def shard_patch_batch(pb, mesh: Mesh):
 
 def replicate_scene(scene, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), scene)
-
-
-def view_shard_pyramids(pyramids, mesh: Mesh):
-    """Shard the packed pyramids' camera axis across the view mesh axis
-    (camera count must be padded to a multiple of the axis size)."""
-    spec = NamedSharding(mesh, P(VIEW_AXIS))
-    return pyramids.replace(
-        images=jax.device_put(pyramids.images, spec),
-        edges=jax.device_put(pyramids.edges, spec),
-        dims=jax.device_put(pyramids.dims, spec),
-        rgb=jax.device_put(pyramids.rgb, spec))

@@ -65,3 +65,39 @@ def test_engine_matches_oracle_depths():
             agree += 1
     assert checked >= 5
     assert agree / checked >= 0.8, f"{agree}/{checked} depths agree"
+
+
+def test_runtime_filter_own_id_passes_full_cells():
+    """mvs.cpp:888-890: a patch FOUND in one of its own cells passes the
+    cell-density clause outright — a popped parent registered in the cell
+    maps is never cell-capped out of expansion, even when every one of
+    its cells sits at max_cell_patch_num. An identical patch that is NOT
+    registered must be capped out by the same full cells."""
+    from pais_mvs_tpu.engine.cellgrid import CellGrids
+
+    cfg = MvsConfig(patch_radius=4, max_lod=3, particle_num=6,
+                    max_iteration=8, dist_weighting=4 / 3.0, cell_size=10,
+                    min_cam_num=3, max_cell_patch_num=1,
+                    seed_refine_rounds=1)
+    sc = make_scene(num_cams=4, width=200, height=150, num_seeds=8, seed=3)
+    orc = oracle.OraclePipeline(sc.params, sc.images, cfg, seed=0)
+    orc.load_seeds(sc.seed_centers, sc.seed_cam_masks, sc.seed_img_points)
+    orc.refine_seeds()
+    assert orc.patches, "no seed survived the tiny-config refine"
+    p = orc.patches[0]
+
+    widths = [lv[0].shape[1] for lv in orc.scene.levels]
+    heights = [lv[0].shape[0] for lv in orc.scene.levels]
+    grids = CellGrids(widths, heights, cfg.cell_size)
+    grids.insert_patch(p.pid, orc._mask_of(p), p.img_pts)
+
+    # max_cell_patch_num=1: every cell holding p is full, yet p passes
+    assert oracle.runtime_filter_oracle(orc.scene, cfg, p, grids)
+
+    # clone everything but the registration: rejected (all cells full)
+    q = oracle.OraclePatch(p.center, p.sph, p.cam_idx)
+    q.ref_cam, q.depth, q.ray = p.ref_cam, p.depth, p.ray
+    q.fitness, q.correlation = p.fitness, p.correlation
+    q.priority, q.img_pts = p.priority, p.img_pts
+    assert q.pid == -1
+    assert not oracle.runtime_filter_oracle(orc.scene, cfg, q, grids)

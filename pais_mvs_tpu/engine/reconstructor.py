@@ -801,6 +801,14 @@ class Reconstructor:
         a = self.arena
         n = a.count
         state = {f"d_{k}": v[:n] for k, v in a.data.items()}
+        # distributed refine-exactly-once bookkeeping: re-queued parents'
+        # consumed candidates must survive a mid-expansion resume, or a
+        # resumed run re-refines them (the divergence cand_done closes)
+        cd = getattr(self, "_dist_cand_done", None) or {}
+        if cd:
+            ids = sorted(cd.keys())
+            state["cand_done_ids"] = np.asarray(ids, np.int64)
+            state["cand_done_masks"] = np.stack([cd[i] for i in ids])
         # write-then-rename: a crash mid-save must never leave a truncated
         # sidecar that poisons the next resume
         tmp = mvs_path + f".state.npz.{os.getpid()}.tmp"
@@ -834,6 +842,12 @@ class Reconstructor:
             expanded = np.asarray(st["expanded"])
             deleted_ids = [int(i) for i in st["deleted_ids"]]
             neighbor_radius = float(st["neighbor_radius"])
+            if "cand_done_ids" in st.files:
+                cand_done = {int(i): np.asarray(m) for i, m in
+                             zip(st["cand_done_ids"],
+                                 st["cand_done_masks"])}
+            else:
+                cand_done = {}
             for k, v in fields.items():
                 if v.shape[0] != n:
                     raise ValueError(f"field {k} has {v.shape[0]} rows, "
@@ -853,6 +867,7 @@ class Reconstructor:
         a.expanded[:n] = expanded
         a.deleted_ids = deleted_ids
         self.neighbor_radius = neighbor_radius
+        self._dist_cand_done = cand_done
         self.grids = None
         self._log(f"resumed checkpoint {path}: {n} patches "
                   f"({int(a.alive[:n].sum())} live, "
@@ -906,9 +921,10 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 10_000,
     changed, so an identical frontier would re-spill to max_rounds), which
     drops that round's deferred candidates and logs it. That guard is the
     one bounded departure from the reference's never-drop queue.
-    See parallel/expansion.py for
-    the semantics map vs mvs.cpp:529-601/792-898 and the one documented
-    divergence (pre-round occupancy in the insert-time re-check).
+    See parallel/expansion.py for the semantics map vs
+    mvs.cpp:529-601/792-898; the insert-time re-check is an exact
+    serial-loop mirror (insert_fixpoint, bit-parity-tested against a
+    serial simulation in tests/test_insert_fixpoint.py).
     """
     import jax
     import math as _math
@@ -947,6 +963,16 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 10_000,
     total_inserted = 0
     total_spilled = 0
     stall_rounds = 0
+    # per-parent record of candidates that already SPENT their one refine
+    # in a spilled round (reference pops refine each candidate exactly
+    # once, mvs.cpp:632-788): fed back into expand_step as ``cand_done``
+    # so a re-queued parent never re-refines them. Only spilled parents
+    # ever hold an entry; cleared once the parent stays expanded. Kept on
+    # self and checkpointed so a mid-expansion resume stays exact.
+    cand_done = getattr(self, "_dist_cand_done", None)
+    if cand_done is None:
+        cand_done = {}
+    self._dist_cand_done = cand_done
     self._dist_save_time = a.count // self.autosave_interval
     for rnd in range(max_rounds):
         frontier = a.live_ids()
@@ -992,16 +1018,22 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 10_000,
         if len(taken) == 0:
             break
         a.expanded[taken] = True
+        pdone = np.zeros((N, 4 * C_cams), bool)
+        if cand_done:
+            for j, pid in enumerate(taken):
+                dm = cand_done.get(int(pid))
+                if dm is not None:
+                    pdone[slot[j]] = dm
 
         # split (not fold_in) so a resumed/repeated expansion never
         # replays the same PSO stream (ADVICE r1)
         self.key, sub = jax.random.split(self.key)
-        out_pb, accepted, occ, ost, spilled, sp_par = expand_step(
+        out_pb, accepted, occ, ost, spilled, sp_par, ref_cand = expand_step(
             self.scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
             jnp.asarray(orank), jnp.asarray(valid), jnp.asarray(pmask),
             occ, ost, cam_cells_j, self.neighbor_radius, sub,
             mesh, slab, gh_cells, cap_per=cfg.max_cell_patch_num,
-            refine_budget=refine_budget)
+            refine_budget=refine_budget, cand_done=jnp.asarray(pdone))
         acc = np.asarray(accepted)
         if acc.any():
             outs = jax.device_get(out_pb)
@@ -1010,6 +1042,7 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 10_000,
         n_spill = int(np.asarray(spilled)[0])
         total_spilled += n_spill
         requeued = False
+        requeue = np.empty(0, np.int64)
         if n_spill:
             # re-queue the parents of budget-deferred candidates so they
             # regenerate next round (the reference's queue never drops a
@@ -1029,6 +1062,19 @@ def _expand_distributed(self, mesh=None, max_rounds: int = 10_000,
                 requeued = True
         else:
             stall_rounds = 0
+        # refine-exactly-once bookkeeping: re-queued parents accumulate
+        # this round's consumed candidates; parents that stay expanded
+        # release their record
+        rc = np.asarray(ref_cand)                             # [N, 4C]
+        requeue_set = set(int(p) for p in requeue)
+        for j, pid in enumerate(taken):
+            pid = int(pid)
+            if pid in requeue_set:
+                prev = cand_done.get(pid)
+                cand_done[pid] = (rc[slot[j]] if prev is None
+                                  else prev | rc[slot[j]])
+            else:
+                cand_done.pop(pid, None)
         self._log(f"dist round {rnd}: {len(taken)} parents"
                   f" -> {int(acc.sum())} inserted"
                   f" (total {len(a.live_ids())})"

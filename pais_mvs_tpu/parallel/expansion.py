@@ -29,20 +29,22 @@ exchange of the simplified path cannot carry them — candidates are
 all_gather'ed (XLA lowers it to an ICI ring) and each shard filters the
 rows it owns. Payloads are a few KB per shard per round.
 
-Divergences vs the host path's serial insert loop (both bounded and
-conservative — they can only REJECT patches the serial loop accepts,
-never accept ones it rejects — and both surfaced by the cloud-parity
-tests in tests/test_engine_distributed.py, including
-test_expand_distributed_realistic_parity on the pawn-rig photo scene):
-  * the insert-time re-check evaluates the correlation / isNeighbor
-    clauses against the PRE-round occupancy (the host re-checks against
-    the live grid which fills as it inserts); the intra-round density is
-    still enforced in strategy order via the rank caps.
-  * the within-round cellmate join builds its insert entries from the
-    PRE-join acceptance state, so a candidate can be blocked by an
-    earlier-order insert that the join itself later rejects (the serial
-    loop never registers a rejected insert). An exact mirror needs the
-    serial fixpoint; the one-pass join errs toward over-rejection only.
+The insert-time re-check is an EXACT mirror of the host's serial insert
+loop: ``insert_fixpoint`` Jacobi-iterates the within-round cellmate join
+until stable, which provably reproduces the serial verdicts (a
+candidate's verdict depends only on strictly earlier-order verdicts, so
+the serial answer is the join's unique fixpoint — see the function
+docstring). Both live-grid clauses are mirrored: the all-views density
+vote counts this round's earlier-order accepted inserts on top of the
+pre-round occupancy, and the skipNeighborCell re-check tests the
+correlation / isNeighbor clauses against those inserts' REFINED state
+(pre-round occupants were already tested at candidate-generation time
+against the same parent plane, and no occupant changes mid-round, so
+generation-time testing is equivalent to the host's insert-time check
+for them). tests/test_insert_fixpoint.py asserts bit-exact agreement
+with a serial Python simulation on randomized scenarios; the cloud-level
+evidence is tests/test_engine_distributed.py, including
+test_expand_distributed_realistic_parity on the pawn-rig photo scene.
 
 Candidates past the per-shard refine budget are NOT lost (the reference's
 queue never drops, mvs.cpp:632-788): their parents are reported back in
@@ -53,11 +55,13 @@ grid. ``spilled`` is therefore only ever transiently nonzero, with one
 bounded exception: the engine's stall guard (reconstructor.py) drops a
 round's deferred candidates after two consecutive zero-insert spill
 rounds, since unchanged occupancy means an identical frontier would
-re-spill forever. Re-queueing is PARENT-granular, so a re-queued parent
-also regenerates candidates that were refined and fitness-REJECTED in
-the earlier round; they re-refine under a fresh PSO key and can
-stochastically pass on retry — a divergence from the reference's
-refine-exactly-once queue pop that only exists under budget pressure.
+re-spill forever. Re-queueing is PARENT-granular, but refine-exactly-
+once still holds: every round reports which (parent, cam, offset)
+candidates consumed their refine (``refined_cands``), the engine feeds
+the union back as ``cand_done`` for re-queued parents, and candidate
+generation excludes them — a regenerated parent only refines the
+candidates the budget actually deferred, exactly like the reference's
+one-shot queue pops (mvs.cpp:632-788).
 """
 
 from __future__ import annotations
@@ -109,6 +113,106 @@ def _skip_clauses(occ, ost, lcol, comb, pcen, pnorm, nr, cap,
     return skip, cnt
 
 
+def insert_fixpoint(a_acc, a_vis, a_cm, a_ord, a_st, a_ocell, a_cnt0,
+                    a_pc, a_pn, a_cx, a_cy, cnt_vis, C, grid_h, cap,
+                    min_correlation, nr):
+    """EXACT replicated mirror of the host's serial insert loop
+    (reconstructor.py:557-574: per-candidate live-grid
+    ``_insert_time_cell_filter`` + ``_skip_neighbor_cell`` re-check, in
+    strategy order, cells filling as earlier candidates insert).
+
+    Inputs are per-candidate rows, replicated on every shard ([SR] unless
+    noted): a_acc refine-acceptance, a_vis [SR, C] visible & in-frame per
+    refined view, a_cm [SR, C] the refined cam_mask (the host's density
+    denominator counts EVERY visible cam — out-of-frame cells read as
+    empty, never full, cellgrid.py:49), a_ord unique f32 serial-order
+    keys, a_st [SR, 7] refined (center, normal, correlation),
+    a_ocell original candidate-cell ids, a_cnt0 pre-round occupant count
+    of that cell, a_pc/a_pn [SR, 3] PARENT plane (the skip re-check runs
+    against the parent, mvs.cpp:795), a_cx/a_cy [SR, C] refined cell
+    coords, cnt_vis [SR, C] pre-round occupant counts of the refined
+    cells. Returns the accepted mask [SR].
+
+    The serial loop is the unique fixpoint of the synchronous re-check
+    (a candidate's verdict depends only on STRICTLY earlier-order
+    verdicts): Jacobi-iterating ``join_pass`` fixes every candidate at
+    blocking-depth d permanently by iteration d, and any stable point
+    equals the serial answer (induction on the minimal diverging order).
+    The loop therefore runs until unchanged — at most SR+1 trips, in
+    practice 2-3. Scanning only the first ``cap`` same-cell inserts is
+    exact: a blocking insert beyond that prefix implies ``cap`` earlier
+    inserts, which the density clause already rejects."""
+    SR = a_ord.shape[0]
+    E = SR * C
+    TOT = E + SR + E
+    BIGCELL = jnp.int32(2 ** 30)
+    vis_cell = jnp.where(
+        a_vis, (a_cx * C + jnp.arange(C)[None, :]) * grid_h + a_cy,
+        BIGCELL)                                              # [SR, C]
+    # entry table: [0:E) insert entries (keys masked by the acceptance
+    # estimate inside the loop), [E:E+SR) candidate original-cell probes
+    # (clauses b/c + live original-cell count), [E+SR:) candidate
+    # visible-cell probes (live density counts).
+    tag_all = jnp.concatenate([jnp.zeros(E, jnp.int32),
+                               jnp.ones(SR + E, jnp.int32)])
+    ord_ins = jnp.repeat(a_ord, C)
+    ord_all = jnp.concatenate([ord_ins, a_ord, ord_ins])
+    key_cand = jnp.concatenate([a_ocell, vis_cell.reshape(-1)])
+    st_ins = jnp.repeat(a_st, C, axis=0)                      # [E, 7]
+    cand_ord = jnp.concatenate([a_ord, ord_ins])
+    pc_cand = jnp.concatenate([a_pc, jnp.repeat(a_pc, C, axis=0)])
+    pn_cand = jnp.concatenate([a_pn, jnp.repeat(a_pn, C, axis=0)])
+    nvis = jnp.sum(a_cm, -1)
+
+    def join_pass(acc_est):
+        ins_key = jnp.where((a_vis & acc_est[:, None]).reshape(-1),
+                            vis_cell.reshape(-1), BIGCELL)
+        key_all = jnp.concatenate([ins_key, key_cand])
+        s_idx = jnp.lexsort((ord_all, tag_all, key_all))
+        key_s = key_all[s_idx]
+        idx = jnp.arange(TOT)
+        same = jnp.concatenate([jnp.zeros(1, bool),
+                                key_s[1:] == key_s[:-1]])
+        start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(~same, idx, 0))
+        inv = jnp.zeros_like(s_idx).at[s_idx].set(idx)
+        own_start = start[inv[E:]]                            # [SR + E]
+        blocked = jnp.zeros(SR + E, bool)
+        n_before = jnp.zeros(SR + E, jnp.int32)
+        for j in range(cap):
+            e = jnp.clip(own_start + j, 0, TOT - 1)
+            se = s_idx[e]
+            is_ins = (se < E) & (key_all[se] == key_cand) \
+                & (ord_all[se] < cand_ord)
+            n_before += is_ins.astype(jnp.int32)
+            st_e = st_ins[jnp.clip(se, 0, E - 1)]
+            corr_hit = st_e[:, 6] > min_correlation
+            d = st_e[:, 0:3] - pc_cand
+            nb_hit = (jnp.abs(jnp.sum(d * pn_cand, -1))
+                      + jnp.abs(jnp.sum(d * st_e[:, 3:6], -1))) <= nr
+            blocked |= is_ins & (corr_hit | nb_hit)
+        # original-cell skip re-check: live count + clauses b/c
+        bad = blocked[:SR] | (a_cnt0 + n_before[:SR] >= cap)
+        # all-views density vote against the LIVE refined-cell counts
+        n_vis_ins = n_before[SR:].reshape(SR, C)
+        full = a_vis & (cnt_vis + n_vis_ins >= cap)
+        dens_ok = (jnp.sum(full, -1) < nvis) | (nvis == 0)
+        return a_acc & dens_ok & ~bad
+
+    def fix_cond(carry):
+        acc_est, changed, it = carry
+        return changed & (it < SR + 1)
+
+    def fix_body(carry):
+        acc_est, _, it = carry
+        nxt = join_pass(acc_est)
+        return nxt, jnp.any(nxt != acc_est), it + jnp.int32(1)
+
+    acc_all, _, _ = jax.lax.while_loop(
+        fix_cond, fix_body, (a_acc, jnp.bool_(True), jnp.int32(0)))
+    return acc_all
+
+
 @functools.lru_cache(maxsize=32)
 def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
                     C, R):
@@ -121,7 +225,7 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
     CGH = C * grid_h
     BIGCELL = np.int32(2 ** 30)
 
-    def body(scene, pc, pn, orank, pval, pmask, occ, ost, cam_cells,
+    def body(scene, pc, pn, orank, pval, pmask, pdone, occ, ost, cam_cells,
              nr, key):
         rig = scene.rig
         k = jax.lax.axis_index(PATCH_AXIS)
@@ -144,6 +248,10 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
         hcell = cam_cells[None, :, 1:2]
         ok = (pval[:, None, None] & pmask[:, :, None]
               & (ncx >= 0) & (ncx < wcell) & (ncy >= 0) & (ncy < hcell))
+        # refine-exactly-once: candidates this parent already spent a
+        # refine on (in a spilled earlier round) are consumed, like the
+        # reference's one-shot queue pop (mvs.cpp:632-788)
+        ok &= ~pdone.reshape(n, C, 4)
 
         m = n * C * 4
         cam = jnp.broadcast_to(jnp.arange(C)[None, :, None], (n, C, 4))
@@ -204,6 +312,15 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
         sp_par = jnp.zeros((S * n,), jnp.int32).at[gslot].add(
             (mine & ~kept_mask).astype(jnp.int32))
         sp_par = jax.lax.psum(sp_par, PATCH_AXIS) > 0
+        # which (parent, cam*4+off) candidates SPENT their refine this
+        # round — the host feeds this back as ``pdone`` for re-queued
+        # parents so a regenerated frontier never refines them again.
+        # Each kept row is owned by exactly one shard, so psum is exact.
+        subi = (ridx % m) % (4 * C)
+        ref_cand = jnp.zeros((S * n * 4 * C,), jnp.int32).at[
+            gslot * (4 * C) + subi].add(kept_mask.astype(jnp.int32))
+        ref_cand = (jax.lax.psum(ref_cand, PATCH_AXIS) > 0).reshape(
+            S * n, 4 * C)
         rpay = g_pay[sel]
         rcol = g_col[sel]
         rrow = g_row[sel]
@@ -264,6 +381,7 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
         a_cx = gather(ncx2)                                   # [S*R, C]
         a_cy = gather(ncy2)
         a_vis = gather(vis2)
+        a_cm = gather(rb.cam_mask)
         a_ord = gather(rpay[:, 6])
         a_acc = gather(acc0)
         a_st = gather(st_new)
@@ -272,79 +390,26 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
         a_pc = gather(rpay[:, 0:3])
         a_pn = gather(rpay[:, 3:6])
 
-        # density vote: each shard checks the cells it owns; a row is
-        # rejected when EVERY visible view's cell is at the cap
-        # (mvs.cpp:877-895 / _insert_time_cell_filter)
+        # pre-round occupant counts of every visible refined cell: each
+        # shard reads the cells it owns, one psum replicates the table
         own2 = (jnp.clip(a_cx // slab_cols, 0, S - 1) == k) & a_vis
         lcol2 = jnp.clip(a_cx - k * slab_cols, 0, slab_cols - 1)
         comb2 = jnp.clip(jnp.arange(C)[None, :] * grid_h + a_cy, 0, CGH - 1)
-        full = own2 & (occ[lcol2, comb2] >= cap)
-        full_votes = jax.lax.psum(jnp.sum(full, -1), PATCH_AXIS)
-        nvis = jnp.sum(a_vis, -1)
-        dens_ok = (full_votes < nvis) | (nvis == 0)
-        base_ok = a_acc & dens_ok
+        cnt_vis = jax.lax.psum(
+            jnp.where(own2, occ[lcol2, comb2], 0), PATCH_AXIS)
 
-        # WITHIN-round skipNeighborCell: the serial loop's later candidates
-        # see this round's earlier inserts as cellmates — in EVERY visible
-        # view's cell the insert registers in (the host mirrors this in
-        # tg_batch_insert's live re-check). Sort-based cell join on the
-        # gathered arrays (replicated compute, identical verdicts on every
-        # shard): "insert" entries (row x visible refined cell) and
-        # "candidate" entries (row x original target cell) share one key
-        # space; each candidate checks the first ``cap`` inserts landing
-        # in its cell for strategy-order precedence + the correlation /
-        # isNeighbor clauses against the insert's REFINED state.
-        SR = a_ord.shape[0]
-        ins_key = jnp.where(a_vis & base_ok[:, None],
-                            (a_cx * C + jnp.arange(C)[None, :]) * grid_h
-                            + a_cy,
-                            BIGCELL).reshape(-1)
-        ins_ord = jnp.repeat(a_ord, C)
-        key_all = jnp.concatenate([ins_key, a_ocell])
-        tag_all = jnp.concatenate([jnp.zeros(SR * C, jnp.int32),
-                                   jnp.ones(SR, jnp.int32)])
-        ord_all = jnp.concatenate([ins_ord, a_ord])
-        st_all = jnp.concatenate(
-            [jnp.repeat(a_st, C, axis=0), jnp.zeros((SR, OCC_STATE_F))])
-        s_idx = jnp.lexsort((ord_all, tag_all, key_all))
-        key_s = key_all[s_idx]
-        idx = jnp.arange(key_s.shape[0])
-        same = jnp.concatenate([jnp.zeros(1, bool), key_s[1:] == key_s[:-1]])
-        start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(~same, idx, 0))
-        # candidate entries sit after their cell's ins entries in the sort;
-        # check the group's first ``cap`` entries (the earliest-order
-        # inserts in that cell)
-        inv = jnp.zeros_like(s_idx).at[s_idx].set(idx)
-        cand_sorted_pos = inv[SR * C:]                        # [SR]
-        blocked = jnp.zeros(SR, bool)
-        n_before = jnp.zeros(SR, jnp.int32)
-        own_start = start[cand_sorted_pos]
-        own_key = a_ocell
-        for j in range(cap):
-            e = jnp.clip(own_start + j, 0, key_s.shape[0] - 1)
-            se = s_idx[e]
-            is_ins = (se < SR * C) & (key_all[se] == own_key) \
-                & (ord_all[se] < a_ord)
-            n_before += is_ins.astype(jnp.int32)
-            st_e = st_all[se]
-            corr_hit = st_e[:, 6] > cfg.min_correlation
-            d = st_e[:, 0:3] - a_pc
-            nb_hit = (jnp.abs(jnp.sum(d * a_pn, -1))
-                      + jnp.abs(jnp.sum(d * st_e[:, 3:6], -1))) <= nr
-            blocked |= is_ins & (corr_hit | nb_hit)
-        # density clause against the LIVE count: pre-round occupancy plus
-        # this round's earlier inserts into the candidate's target cell
-        blocked |= a_cnt0 + n_before >= cap
-        base_ok &= ~blocked
-
-        # NOTE: no extra budget gate on the REFINED reference cell — the
-        # host mirror has none (tg_batch_insert gates on the ORIGINAL
-        # candidate cell via the live-grid skip re-check, replicated above
-        # by the a_cnt0 + n_before clause, and on the all-visible-cells
-        # density vote, replicated by dens_ok). Cells may exceed the cap
-        # post-insert in both paths: the cap gates candidates, not storage.
-        acc_all = base_ok                                     # [S*R]
+        # EXACT serial-insert mirror (fixpoint join, replicated compute —
+        # identical verdicts on every shard): the live-grid density vote
+        # (mvs.cpp:877-895 / _insert_time_cell_filter) and the
+        # skipNeighborCell re-check (mvs.cpp:792-807) both see this
+        # round's earlier-order ACCEPTED inserts exactly as the host's
+        # serial loop does. No extra budget gate on the REFINED reference
+        # cell — the host has none (cells may exceed the cap post-insert:
+        # the cap gates candidates, not storage).
+        acc_all = insert_fixpoint(
+            a_acc, a_vis, a_cm, a_ord, a_st, a_ocell, a_cnt0, a_pc, a_pn,
+            a_cx, a_cy, cnt_vis, C, grid_h, cap,
+            float(cfg.min_correlation), nr)                   # [S*R]
         acc = jax.lax.dynamic_slice_in_dim(acc_all, k * R, R)
 
         # ---- occupancy update: register every accepted patch in EVERY
@@ -362,7 +427,7 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
         stf = jnp.repeat(a_st, C, axis=0)                     # [S*R*C, 7]
         ost2 = ost.at[lcolf, combf, slot].set(stf, mode="drop")
         occ2 = occ.at[lcolf, combf].add(updf.astype(occ.dtype))
-        return rb, acc, occ2, ost2, spilled[None], sp_par
+        return rb, acc, occ2, ost2, spilled[None], sp_par, ref_cand
 
     from pais_mvs_tpu.models import patch as patch_mod2
     spec_pb = jax.tree.map(lambda _: P(PATCH_AXIS),
@@ -374,9 +439,10 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
             body, mesh=mesh,
             in_specs=(scene_spec, P(PATCH_AXIS), P(PATCH_AXIS),
                       P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
-                      P(PATCH_AXIS), P(PATCH_AXIS), P(), P(), P()),
+                      P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
+                      P(), P(), P()),
             out_specs=(spec_pb, P(PATCH_AXIS), P(PATCH_AXIS),
-                       P(PATCH_AXIS), P(), P()),
+                       P(PATCH_AXIS), P(), P(), P()),
             check_vma=False)
         return f(scene, *args)
 
@@ -386,26 +452,37 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
 def expand_step(scene, cfg, centers, normals, order_rank, valid,
                 parent_cam_mask, occ_cnt, occ_state, cam_cells,
                 neighbor_radius, key, mesh: Mesh, slab_cols: int,
-                grid_h: int, cap_per: int, refine_budget: int):
+                grid_h: int, cap_per: int, refine_budget: int,
+                cand_done=None):
     """One COMPLETE distributed expansion round (see module docstring).
 
     Global shapes (patch-axis sharded unless noted): centers/normals
     [N, 3], order_rank [N] f32 strategy-order positions, valid [N],
     parent_cam_mask [N, C]; occ_cnt [S*slab_cols, C*grid_h] i32 and
     occ_state [S*slab_cols, C*grid_h, cap_per, 7] f32 sharded on axis 0;
-    cam_cells [C, 2] i32 per-camera grid (w, h) in cells, replicated.
+    cam_cells [C, 2] i32 per-camera grid (w, h) in cells, replicated;
+    cand_done [N, 4*C] bool (optional, default all-False) — candidates
+    each parent has ALREADY spent a refine on in a spilled earlier round
+    (indexed cam*4 + offset), excluded from regeneration so the
+    reference's refine-exactly-once queue-pop semantics hold across
+    re-queues.
 
     Returns (refined PatchBatch [S*refine_budget rows, sharded],
     accepted [S*refine_budget] bool, new occ_cnt, new occ_state,
     spilled [1] i32 — candidates deferred by the refine budget this
     round, spilled_parents [N] bool — parent slots to re-queue so those
-    candidates are regenerated next round).
+    candidates are regenerated next round, refined_cands [N, 4*C] bool —
+    the candidates that consumed their refine this round, to be OR-ed
+    into the re-queued parents' ``cand_done``).
     """
     C = scene.rig.num_cameras
+    N = centers.shape[0]
+    if cand_done is None:
+        cand_done = jnp.zeros((N, 4 * C), bool)
     fn = _expand_step_fn(cfg, mesh, slab_cols, occ_cnt.shape[0], grid_h,
                          cap_per, cfg.cell_size, C, refine_budget)
     return fn(scene, centers, normals, order_rank, valid, parent_cam_mask,
-              occ_cnt, occ_state, cam_cells,
+              cand_done, occ_cnt, occ_state, cam_cells,
               jnp.float32(neighbor_radius), key)
 
 

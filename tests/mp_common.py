@@ -80,7 +80,7 @@ def run_sharded(prob, mesh, to_global):
 
     occ = to_global(np.zeros((S * slab, C * gh), np.int32))
     ost = to_global(np.zeros((S * slab, C * gh, 2, OCC_STATE_F), np.float32))
-    out_pb, accepted, occ2, ost2, spilled, _sp_par = expand_step(
+    out_pb, accepted, occ2, ost2, spilled, _sp_par, _rc = expand_step(
         scene, cfg, rb.center, normals, orank, rb.valid, rb.cam_mask,
         occ, ost, jnp.asarray(prob["cam_cells"]), 0.01,
         jax.random.PRNGKey(1), mesh, slab, gh, cap_per=2, refine_budget=32)

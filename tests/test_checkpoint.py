@@ -116,3 +116,35 @@ def test_live_snapshot_written_during_expansion(tmp_path, small):
     assert counts == sorted(counts)       # monotone growing cloud
     c, n, col = read_ply(str(snap))
     assert np.isfinite(c).all() and len(c) <= n_final
+
+
+def test_cand_done_survives_checkpoint(tmp_path, small):
+    """The distributed path's refine-exactly-once record (re-queued
+    parents' consumed candidates) must roundtrip through the sidecar, or
+    a resumed run re-refines spilled candidates (the divergence
+    ``cand_done`` exists to close)."""
+    cfg, sc = small
+    rec = _fresh(cfg, sc)
+    rec.refine_seeds()
+    C = rec.arena.num_cams
+    m1 = np.zeros(4 * C, bool)
+    m1[[0, 5]] = True
+    m2 = np.zeros(4 * C, bool)
+    m2[3] = True
+    rec._dist_cand_done = {2: m1, 7: m2}
+    ck = str(tmp_path / "cd_save.mvs")
+    rec.save_checkpoint(ck)
+
+    rec2 = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+    assert rec2.load_checkpoint(ck)
+    got = rec2._dist_cand_done
+    assert set(got) == {2, 7}
+    np.testing.assert_array_equal(got[2], m1)
+    np.testing.assert_array_equal(got[7], m2)
+
+    # absent record loads as empty (old sidecars stay readable)
+    rec._dist_cand_done = {}
+    rec.save_checkpoint(ck)
+    rec3 = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+    assert rec3.load_checkpoint(ck)
+    assert rec3._dist_cand_done == {}

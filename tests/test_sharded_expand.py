@@ -90,7 +90,7 @@ def test_expand_step_produces_surface_patches():
     R = 64
     occ = np.zeros((S * slab, C * gh), np.int32)
     ost = np.zeros((S * slab, C * gh, 2, OCC_STATE_F), np.float32)
-    out_pb, accepted, occ2, ost2, spilled, _sp_par = expand_step(
+    out_pb, accepted, occ2, ost2, spilled, _sp_par, _rc = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ), jnp.asarray(ost), jnp.asarray(cam_cells),
@@ -134,7 +134,7 @@ def test_occupancy_is_per_camera():
     ost = np.zeros((S * slab, C * gh, 2, OCC_STATE_F), np.float32)
 
     mesh = make_mesh((S, 1))
-    out_pb, accepted, occ2, ost2, spilled, _sp_par = expand_step(
+    out_pb, accepted, occ2, ost2, spilled, _sp_par, _rc = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ), jnp.asarray(ost), jnp.asarray(cam_cells),
@@ -169,7 +169,7 @@ def test_skip_clauses_block_occupied_neighborhood():
 
     occ0 = np.zeros((S * slab, C * gh), np.int32)
     ost0 = np.zeros((S * slab, C * gh, 3, OCC_STATE_F), np.float32)
-    _, acc_empty, _, _, _, _ = expand_step(
+    _, acc_empty, _, _, _, _, _ = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ0), jnp.asarray(ost0), jnp.asarray(cam_cells),
@@ -185,7 +185,7 @@ def test_skip_clauses_block_occupied_neighborhood():
     ost1 = np.zeros((S * slab, C * gh, 3, OCC_STATE_F), np.float32)
     ost1[..., 0, 6] = 0.99          # correlation > minCorrelation (0.7)
     ost1[..., 0, 0:3] = 1e6         # far away: isNeighbor never fires
-    _, acc_b, _, _, _, _ = expand_step(
+    _, acc_b, _, _, _, _, _ = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ1), jnp.asarray(ost1), jnp.asarray(cam_cells),
@@ -200,7 +200,7 @@ def test_skip_clauses_block_occupied_neighborhood():
     ost2[..., 0, 0:3] = centers[val].mean(0)
     ost2[..., 0, 3:6] = np.array([0, 0, 1.0])
     ost2[..., 0, 6] = 0.1
-    _, acc_c, _, _, _, _ = expand_step(
+    _, acc_c, _, _, _, _, _ = expand_step(
         scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
         jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
         jnp.asarray(occ1), jnp.asarray(ost2), jnp.asarray(cam_cells),
@@ -208,3 +208,41 @@ def test_skip_clauses_block_occupied_neighborhood():
         jax.random.PRNGKey(1), mesh, slab, gh, cap_per=3,
         refine_budget=64)
     assert int(np.asarray(acc_c).sum()) == 0
+
+
+def test_refine_exactly_once_across_requeues():
+    """Budget-spilled parents are re-queued, but a candidate that already
+    consumed its refine must never refine again (the reference pops each
+    queued candidate exactly once, mvs.cpp:632-788): feeding the returned
+    ``refined_cands`` back as ``cand_done`` must make the re-run's refined
+    set DISJOINT from the first round's."""
+    cfg = CFG
+    sc = make_scene(num_cams=4, width=160, height=120, num_seeds=64, seed=5)
+    scene = build_scene(sc.params, sc.images, cfg)
+    C = 4
+    cam_cells, slab, gh = _grids(cfg, [160] * C, [120] * C, C)
+    rb = _refined_frontier(cfg, sc, scene)
+    centers, normals, orank, val, pmask = _pack(rb, cfg, slab, C=C)
+    mesh = make_mesh((S, 1))
+    occ = np.zeros((S * slab, C * gh), np.int32)
+    ost = np.zeros((S * slab, C * gh, 2, OCC_STATE_F), np.float32)
+
+    # a 4-per-shard budget against ~16 candidates/parent forces spills
+    args = (scene, cfg, jnp.asarray(centers), jnp.asarray(normals),
+            jnp.asarray(orank), jnp.asarray(val), jnp.asarray(pmask),
+            jnp.asarray(occ), jnp.asarray(ost), jnp.asarray(cam_cells),
+            0.01, jax.random.PRNGKey(1), mesh, slab, gh)
+    _, _, _, _, spilled, sp_par, rc1 = expand_step(
+        *args, cap_per=2, refine_budget=4)
+    rc1 = np.asarray(rc1)
+    assert int(np.asarray(spilled)[0]) > 0, "scenario must spill"
+    assert np.asarray(sp_par).any()
+    assert rc1.any()
+
+    # identical round with the consumed candidates masked: nothing may
+    # refine twice, and the freed budget goes to previously-spilled ones
+    _, _, _, _, _, _, rc2 = expand_step(
+        *args, cap_per=2, refine_budget=4, cand_done=jnp.asarray(rc1))
+    rc2 = np.asarray(rc2)
+    assert not (rc1 & rc2).any(), "a candidate refined twice"
+    assert rc2.any(), "deferred candidates must get the freed budget"

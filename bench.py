@@ -93,6 +93,11 @@ def main():
                     batch_size=B, max_lod=6)
     if bf16_vpu >= 0:
         cfg = cfg.replace(pallas_bf16_vpu=bf16_vpu)
+    # BENCH_EXIT_CHUNK=N A/Bs the PSO chunked early-exit on the head arm
+    # (the control arm keeps the fixed scan, so head_vs_control isolates it)
+    exit_chunk = int(os.environ.get("BENCH_EXIT_CHUNK", "-1"))
+    if exit_chunk >= 0:
+        cfg = cfg.replace(pso_exit_chunk=exit_chunk)
     sc = make_scene(num_cams=5, width=640, height=480, num_seeds=B + 64,
                     seed=0)
     scene = build_scene(sc.params, sc.images, cfg)
@@ -121,6 +126,7 @@ def main():
 
     # on-device Pallas-vs-jnp parity self-test (regenerates the PARITY.md
     # agreement figures every bench run so they cannot silently rot)
+    agree = 1.0
     if os.environ.get("BENCH_SELFTEST", "1") != "0":
         from pais_mvs_tpu.ops import fitness as F
         from pais_mvs_tpu.ops import geometry as geom
@@ -193,7 +199,7 @@ def main():
     # second program, which is all the drift calibration needs). Same
     # workload, same jit machinery; compiled once here so its compile does
     # not land inside a timed block.
-    cfg_ctrl = cfg.replace(pallas_roll_hoist=True)
+    cfg_ctrl = cfg.replace(pallas_roll_hoist=True, pso_exit_chunk=0)
     if with_control:
         res_c = lc.refine_batch(scene, cfg_ctrl, pb, key, nr, True, 1)
         sync(res_c.batch.fitness)
@@ -247,17 +253,17 @@ def main():
     print(f"accepted {keep.sum()}/{B}, median surface dist "
           f"{np.median(d):.5f}", file=sys.stderr)
     # gate at ~10x the measured steady-state quality (2.6e-4), not the old
-    # 100x-loose 0.02 — a real regression must fail the gate
+    # 100x-loose 0.02 — a real regression must fail the gate. The selftest
+    # validity agreement gates too (VERDICT r4 weak #1): a kernel-parity
+    # regression must mark the JSON, not just whisper on stderr.
     quality_ok = keep.sum() > B * 0.5 and np.median(d) < 0.003 \
-        and realistic_ok
+        and realistic_ok and agree >= 0.95
 
-    cpu_pps = 0.979
-    try:
-        with open(os.path.join(os.path.dirname(__file__),
-                               "baseline_cpu.json")) as f:
-            cpu_pps = json.load(f)["value"]
-    except Exception:
-        pass
+    # no silent fallback (VERDICT r4 weak #2): a missing/corrupt baseline
+    # file must fail loudly, not flatter vs_baseline with a stale constant
+    with open(os.path.join(os.path.dirname(__file__),
+                           "baseline_cpu.json")) as f:
+        cpu_pps = json.load(f)["value"]
 
     out = {
         "metric": "pawn-shaped dense-recon patch refinement throughput"

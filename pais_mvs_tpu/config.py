@@ -146,6 +146,17 @@ class MvsConfig:
     # wider coverage -> per-block (False) is the default; bench.py times
     # the hoisted variant as its pinned in-run calibration control arm.
     pallas_roll_hoist: bool = False
+    # GLN-PSO iteration-loop chunk size for whole-batch early exit: > 0
+    # runs the PSO scan in chunks of this many iterations inside a
+    # while_loop that stops once EVERY swarm has frozen (the batch analog
+    # of the reference's per-swarm early stop, psosolver.cpp:286-306).
+    # Bit-identical to the fixed-length scan (frozen swarms never move;
+    # ops/pso.py). Saves whole fitness dispatches only when the entire
+    # batch converges early — per-swarm freezing is already exploited by
+    # the kernel's act flags. 0 = fixed-length scan (default; flip after
+    # the on-chip A/B, tools/profile_refine.py measures the iteration
+    # distribution that decides this).
+    pso_exit_chunk: int = 0
 
     @property
     def patch_size(self) -> int:

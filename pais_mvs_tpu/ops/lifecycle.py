@@ -368,7 +368,7 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
                       init.astype(jnp.float32),
                       jax.random.fold_in(key, rnd),
                       particle_num=particle_num, max_iteration=max_iteration,
-                      active0=valid)
+                      active0=valid, exit_chunk=cfg.pso_exit_chunk)
         iters = res.iterations
 
         new_sph = res.gbest[:, :2]

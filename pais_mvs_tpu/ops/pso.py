@@ -94,7 +94,8 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
             convergence_threshold: float = 0.01,
             iw: float = 0.8, pw: float = 1.2, gw: float = 1.5,
             lw: float = 1.0, nw: float = 1.0, local_k: int = 5,
-            min_iw: float = 0.4, active0=None) -> PsoResult:
+            min_iw: float = 0.4, active0=None,
+            exit_chunk: int = 0) -> PsoResult:
     """Run B swarms of ``particle_num`` particles for <= max_iteration steps.
 
     Args:
@@ -107,6 +108,14 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
       key: jax PRNG key.
       active0: [B] bool or None — swarms to optimize at all (dead patches
         skip every evaluation).
+      exit_chunk: > 0 runs the iteration scan in chunks of this size inside
+        a ``lax.while_loop`` that exits once EVERY swarm has frozen (the
+        batch analog of the reference's per-swarm early stop,
+        psosolver.cpp:286-306, which the fixed-length scan can only honor
+        per-swarm via the act flags — every one of the 61 dispatches still
+        launches). Bit-identical to the fixed scan by construction: frozen
+        swarms never change state, so truncating all-frozen tail chunks
+        cannot change any output (tests/test_pso.py). 0 = fixed scan.
 
     Returns: PsoResult.
     """
@@ -163,7 +172,9 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
         velix = jnp.mean(jnp.abs(c.vel), axis=(1, 2))
         done = c.done | ((disp < convergence_threshold) &
                          (velix < convergence_threshold))
-        active = ~done & active0
+        # ``it >= max_iteration`` marks chunk-padding steps (exit_chunk not
+        # dividing max_iteration): they must be no-ops for every swarm
+        active = ~done & active0 & (it < max_iteration)
 
         rp = pw * r4[0][..., None]
         rg = gw * r4[1][..., None]
@@ -213,5 +224,27 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
     n_streams = 4 if enable_gln else 2
     rand_all = jax.random.uniform(
         jax.random.fold_in(key, 7), (max_iteration, n_streams, B, P))
-    cf, _ = jax.lax.scan(step, c0, (jnp.arange(max_iteration), rand_all))
+    if exit_chunk and 0 < exit_chunk < max_iteration:
+        nch = -(-max_iteration // exit_chunk)
+        pad = nch * exit_chunk - max_iteration
+        its = jnp.arange(nch * exit_chunk)   # tail rows >= max_iteration
+        if pad:
+            rand_all = jnp.pad(rand_all, ((0, pad),) + ((0, 0),) * 3)
+
+        def chunk_cond(s):
+            i, c = s
+            return (i < nch) & jnp.any(~c.done & active0)
+
+        def chunk_body(s):
+            i, c = s
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                a, i * exit_chunk, exit_chunk)
+            c2, _ = jax.lax.scan(step, c, (sl(its), sl(rand_all)))
+            return i + jnp.int32(1), c2
+
+        _, cf = jax.lax.while_loop(chunk_cond, chunk_body,
+                                   (jnp.int32(0), c0))
+    else:
+        cf, _ = jax.lax.scan(step, c0,
+                             (jnp.arange(max_iteration), rand_all))
     return PsoResult(cf.gbest, cf.gbest_fit, cf.iters)

@@ -74,3 +74,57 @@ def test_multimodal_gln_beats_bounds():
                   particle_num=24, max_iteration=80)
     fits = np.asarray(res.gbest_fit)
     assert np.median(fits) < 0.05
+
+
+def test_exit_chunk_bit_identical():
+    """Chunked early-exit (exit_chunk > 0) must be BIT-identical to the
+    fixed-length scan: frozen swarms never change state, so truncating
+    all-frozen tail chunks cannot change any output. Covers chunk sizes
+    that do and do not divide max_iteration, plus a fast-converging batch
+    (tight bounds) where the exit actually fires early."""
+    B, D = 12, 3
+    rng = np.random.default_rng(4)
+    opt = jnp.asarray(rng.uniform(-1, 1, size=(B, D)), dtype=jnp.float32)
+
+    def fit(pos, act):
+        return jnp.sum((pos - opt[:, None, :]) ** 2, axis=-1)
+
+    for scale, key in ((2.0, 10), (1e-4, 11)):   # wide + instantly-frozen
+        lo = jnp.full((B, D), -scale, jnp.float32)
+        hi = jnp.full((B, D), scale, jnp.float32)
+        base = gln_pso(fit, lo, hi, None, jax.random.PRNGKey(key),
+                       particle_num=8, max_iteration=25)
+        for chunk in (5, 7, 25, 40):             # divides / pads / >= max
+            res = gln_pso(fit, lo, hi, None, jax.random.PRNGKey(key),
+                          particle_num=8, max_iteration=25,
+                          exit_chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(base.gbest),
+                                          np.asarray(res.gbest))
+            np.testing.assert_array_equal(np.asarray(base.gbest_fit),
+                                          np.asarray(res.gbest_fit))
+            np.testing.assert_array_equal(np.asarray(base.iterations),
+                                          np.asarray(res.iterations))
+
+
+def test_exit_chunk_under_jit_and_active0():
+    """exit_chunk composes with jit and dead-swarm masking (active0)."""
+    B, D = 8, 2
+    opt = jnp.zeros((B, D), jnp.float32)
+
+    def fit(pos, act):
+        return jnp.sum((pos - opt[:, None, :]) ** 2, axis=-1)
+
+    lo = jnp.full((B, D), -1.0, jnp.float32)
+    hi = jnp.full((B, D), 1.0, jnp.float32)
+    act0 = jnp.asarray([True, False] * (B // 2))
+
+    def run(chunk):
+        f = jax.jit(lambda: gln_pso(
+            fit, lo, hi, None, jax.random.PRNGKey(5), particle_num=6,
+            max_iteration=12, active0=act0, exit_chunk=chunk))
+        return f()
+
+    base, res = run(0), run(4)
+    np.testing.assert_array_equal(np.asarray(base.gbest),
+                                  np.asarray(res.gbest))
+    assert not np.asarray(res.iterations)[1]     # dead swarm never stepped

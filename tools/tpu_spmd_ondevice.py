@@ -8,8 +8,10 @@ on-device, ops/pallas_fitness.py:295-302). This script runs, on a
 1-device mesh over the attached chip:
 
   1. ``sharded_pso_refine`` — the patch-dp x view-sharded fitness step
-     (shard_map + psum around the fused Pallas kernel);
-  2. ``refine_batch`` on a mesh-sharded patch batch;
+     (shard_map + psum composition over the view axis; see
+     parallel/sharded.py for which sampling backend each platform runs);
+  2. ``refine_batch`` on a mesh-sharded patch batch (this and step 3 run
+     the fused Pallas fitness kernel under shard_map);
   3. multi-round ``expand_distributed`` — all_gather candidate routing,
      three-clause skipNeighborCell, occupancy scatter, spill re-queue —
      with a quality gate against the synthetic analytic surface.

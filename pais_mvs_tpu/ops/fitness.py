@@ -38,6 +38,16 @@ from pais_mvs_tpu.ops import geometry as geom
 from pais_mvs_tpu.ops.geometry import BIG
 
 
+def resolve_backend(cfg: MvsConfig) -> str:
+    """'auto' picks the Pallas kernel on accelerators and this jnp
+    reference on CPU (the TPU platform may be named "tpu" or, tunneled,
+    "axon"). Shared by lifecycle and the view-sharded SPMD path."""
+    backend = cfg.fitness_backend
+    if backend == "auto":
+        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    return backend
+
+
 def window_offsets(patch_radius: int) -> np.ndarray:
     """[W*W, 2] (dx, dy) offsets, x-major to mirror the reference's loop
     order (patch.cpp:979-980); the Gaussian weight table is symmetric so

@@ -25,13 +25,7 @@ from pais_mvs_tpu.ops import geometry as geom
 from pais_mvs_tpu.ops.pso import gln_pso
 
 
-def _resolve_backend(cfg: MvsConfig) -> str:
-    """'auto' picks the Pallas kernel on accelerators and the jnp reference
-    on CPU (the TPU platform may be named "tpu" or, tunneled, "axon")."""
-    backend = cfg.fitness_backend
-    if backend == "auto":
-        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
-    return backend
+_resolve_backend = F.resolve_backend
 
 
 _RADIUS_WARNED = set()

@@ -410,18 +410,31 @@ def _cell_body(ints_ref, flts_ref, pflags_ref, H_ref, offs_ref,
 def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
                  cover: int, precise: bool, interpret: bool, act=None,
                  cover_y: int | None = None, pvalid=None):
-    """Launch the sampling kernel.
+    """Launch the sampling kernel over the full scene (see _run_sampler_raw
+    for the camera-block form the view-sharded SPMD path uses)."""
+    pyrs = scene.pyramids
+    return _run_sampler_raw(pyrs.images, pyrs.dims, pyrs.yoff, cfg, H, pt,
+                            lod, margins, cover, precise, interpret, act,
+                            cover_y, pvalid)
 
+
+def _run_sampler_raw(images, dims, yoff, cfg: MvsConfig, H, pt, lod, margins,
+                     cover: int, precise: bool, interpret: bool, act=None,
+                     cover_y: int | None = None, pvalid=None):
+    """Launch the sampling kernel on a raw atlas block.
+
+    images: [C, Ha, Wa] mip-atlas (the FULL scene, or one view shard's
+    camera block — the kernel only ever indexes cameras that appear in H);
+    dims: [C, L, 2] per-level dims for those same cameras; yoff: [L+1].
     H: [B, P, C, 3, 3] homographies; pt: [B, 2] reference-window centers
     (LOD coords); lod: [B]; margins: (lo, hi) bounds margins; act: [B, C]
     bool — cells to compute (inactive cells emit garbage the caller must
     mask; None = all).
     Returns warped samples [B, C, P, W2] (INVALID where out of bounds/box).
     """
-    pyrs = scene.pyramids
     B, P, C = H.shape[:3]
     r = cfg.patch_radius
-    Ha, Wa = pyrs.images.shape[1], pyrs.images.shape[2]
+    Ha, Wa = images.shape[1], images.shape[2]
     # y is the matmul contraction dim (zero-padded to the MXU's 128 lanes
     # regardless), so keep the box SHORT in y — just enough rows for the
     # warped window footprint — and let x carry the 128-lane alignment
@@ -442,12 +455,12 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
     uvc, _ = geom.homography_apply(H, pt[:, None, None, :])   # [B,P,C,2]
     uvc = jnp.where(jnp.isfinite(uvc), uvc, 0.0)
     ctr = jnp.median(uvc, axis=1)                             # [B, C, 2]
-    hw = pyrs.dims[jnp.arange(C)[None, :], lod[:, None]]      # [B, C, 2]
+    hw = dims[jnp.arange(C)[None, :], lod[:, None]]           # [B, C, 2]
     hwf = hw.astype(jnp.float32)
     cx = jnp.round(ctr[..., 0]).astype(jnp.int32)
     cy = jnp.round(ctr[..., 1]).astype(jnp.int32)
     bx = jnp.clip(((cx - cover_x) // 128) * 128, 0, Wa - KX)
-    yoff_b = pyrs.yoff[lod][:, None]                          # [B, 1]
+    yoff_b = yoff[lod][:, None]                               # [B, 1]
     by_atl = jnp.clip(yoff_b + ((cy - cover_y) // 8) * 8, 0, Ha - KY)
     by_lvl = by_atl - yoff_b
 
@@ -511,8 +524,8 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
                                lambda b, c: (b, c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((KY, KX), pyrs.images.dtype),          # box0
-            pltpu.VMEM((KY, KX), pyrs.images.dtype),          # box1
+            pltpu.VMEM((KY, KX), images.dtype),               # box0
+            pltpu.VMEM((KY, KX), images.dtype),               # box1
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -527,7 +540,7 @@ def _run_sampler(scene: Scene, cfg: MvsConfig, H, pt, lod, margins,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, P, W2p), jnp.float32),
         interpret=interpret,
-    )(ints, ints, flts, pflags, pyrs.images, Hflat, offs)
+    )(ints, ints, flts, pflags, images, Hflat, offs)
     return vals[:, :, :P_out, :W2]
 
 

@@ -31,8 +31,15 @@ _resolve_backend = F.resolve_backend
 _RADIUS_WARNED = set()
 
 
-def _fitness_fn(cfg: MvsConfig):
-    """Select the photoconsistency backend (decided at trace time)."""
+def _fitness_fn(cfg: MvsConfig, view_axis: str | None = None):
+    """Select the photoconsistency backend (decided at trace time).
+
+    ``view_axis``: inside a shard_map whose in_specs put the pyramid
+    atlases on that mesh axis, returns the view-sharded psum-composed
+    fitness (ops/view_fitness.py) instead of the flat backends."""
+    if view_axis is not None:
+        from pais_mvs_tpu.ops import view_fitness as VF
+        return functools.partial(VF.patch_fitness_view, axis=view_axis)
     backend = _resolve_backend(cfg)
     if backend == "pallas":
         from pais_mvs_tpu.ops.pallas_fitness import STRETCH
@@ -109,7 +116,8 @@ def set_depth_range(scene: Scene, cfg: MvsConfig, center, ray, depth,
     return jnp.stack([lo, hi], axis=-1), drop
 
 
-def set_lod(scene: Scene, cfg: MvsConfig, center, ref_cam):
+def set_lod(scene: Scene, cfg: MvsConfig, center, ref_cam,
+            view_axis: str | None = None):
     """Climb the pyramid until the window's intensity variance reaches
     textureVariation (patch.cpp:511-610).
 
@@ -124,6 +132,18 @@ def set_lod(scene: Scene, cfg: MvsConfig, center, ref_cam):
     rig, pyrs = scene.rig, scene.pyramids
     B = center.shape[0]
     L = pyrs.num_levels
+
+    if view_axis is not None:
+        # view-sharded variance atlas: the lookup lives on the shard
+        # owning ref_cam; psum replicates it (the -1 OOB sentinel survives
+        # the one-hot masked sum exactly)
+        from pais_mvs_tpu.ops.view_fitness import own_psum
+        c_local = pyrs.var.shape[0]
+        offset = jax.lax.axis_index(view_axis) * c_local
+        own = (ref_cam >= offset) & (ref_cam < offset + c_local)
+        ref_q = jnp.clip(ref_cam - offset, 0, c_local - 1)
+    else:
+        own, ref_q = None, ref_cam
 
     # window variance at every level via the precomputed maps (one lookup
     # per level instead of a (2r+1)^2 gather; see pyramid.window_variance_map)
@@ -140,7 +160,13 @@ def set_lod(scene: Scene, cfg: MvsConfig, center, ref_cam):
                (pt[:, 1] >= 0) & (pt[:, 1] < dims[:, 0]) & (z > 0) &
                jnp.all(jnp.isfinite(pt), axis=-1))
         lod_b = jnp.full((B,), l, dtype=jnp.int32)
-        var = F.nearest_gather(pyrs.var, pyrs.yoff, ref_cam, lod_b, pt)
+        # OOB projections feed NaN/huge coords into the gather's clip —
+        # sanitize so the non-owner shards' masked rows stay finite
+        pt_s = jnp.where(jnp.isfinite(pt), pt, 0.0)
+        var = F.nearest_gather(pyrs.var, pyrs.yoff, ref_q, lod_b, pt_s)
+        if view_axis is not None:
+            from pais_mvs_tpu.ops.view_fitness import own_psum
+            var = own_psum(var, own, view_axis)
         valid.append(pin & (var >= 0))
         vars.append(var)
     valid = jnp.stack(valid, axis=1)                          # [B, L]
@@ -167,17 +193,25 @@ def set_lod(scene: Scene, cfg: MvsConfig, center, ref_cam):
 
 
 def remove_invisible_cameras(scene: Scene, cfg: MvsConfig,
-                             center, normal, ref_cam, cam_mask, lod):
+                             center, normal, ref_cam, cam_mask, lod,
+                             view_axis: str | None = None):
     """Ref: Patch::removeInvisibleCamera (patch.cpp:655-721).
 
     Returns (new_cam_mask, correlation, drop). ``correlation`` is computed
-    over the PRE-removal camera set, as in the reference.
+    over the PRE-removal camera set, as in the reference. With
+    ``view_axis`` the warped vectors come from the view-sharded sampler +
+    all_gather (ops/view_fitness.py); everything downstream is rig-only
+    (replicated) math.
     """
     rig = scene.rig
     B = center.shape[0]
     C = rig.num_cameras
     from pais_mvs_tpu.ops.pallas_fitness import STRETCH
-    if (_resolve_backend(cfg) == "pallas"
+    if view_axis is not None:
+        from pais_mvs_tpu.ops import view_fitness as VF
+        vecs, corr_table, correlation, ok = VF.warped_vectors_view(
+            scene, cfg, center, normal, ref_cam, cam_mask, lod, view_axis)
+    elif (_resolve_backend(cfg) == "pallas"
             and STRETCH * (2 * cfg.patch_radius + 1) <= 128):
         from pais_mvs_tpu.ops.pallas_fitness import warped_patch_vectors_pallas
         vecs, corr_table, correlation, ok = warped_patch_vectors_pallas(
@@ -223,9 +257,12 @@ def set_priority(scene: Scene, fitness, correlation, cam_mask, lod):
         (lod.astype(fitness.dtype) + 1.0)
 
 
-def set_image_points_and_color(scene: Scene, center, ref_cam):
+def set_image_points_and_color(scene: Scene, center, ref_cam,
+                               view_axis: str | None = None):
     """Level-0 projections into every camera + RGB color from the reference
-    view (patch.cpp:627-653). Returns (img_point [B, C, 2], color [B, 3])."""
+    view (patch.cpp:627-653). Returns (img_point [B, C, 2], color [B, 3]).
+    With ``view_axis`` the rgb atlas is a camera block; the color lookup
+    runs on the owning shard and psum-replicates."""
     rig, pyrs = scene.rig, scene.pyramids
     B = center.shape[0]
     C = rig.num_cameras
@@ -238,14 +275,25 @@ def set_image_points_and_color(scene: Scene, center, ref_cam):
     ref_pt = jnp.take_along_axis(
         ipts, ref_cam[:, None, None].astype(jnp.int32).repeat(2, -1),
         axis=1)[:, 0, :]
+    ref_pt = jnp.where(jnp.isfinite(ref_pt), ref_pt, 0.0)
     Hp, Wp = pyrs.rgb.shape[1:3]
     xi = jnp.clip(jnp.round(ref_pt[:, 0]).astype(jnp.int32), 0, Wp - 1)
     yi = jnp.clip(jnp.round(ref_pt[:, 1]).astype(jnp.int32), 0, Hp - 1)
-    color = pyrs.rgb[ref_cam, yi, xi].astype(jnp.float32)     # [B, 3]
+    if view_axis is None:
+        color = pyrs.rgb[ref_cam, yi, xi].astype(jnp.float32)  # [B, 3]
+    else:
+        from pais_mvs_tpu.ops.view_fitness import own_psum
+        c_local = pyrs.rgb.shape[0]
+        offset = jax.lax.axis_index(view_axis) * c_local
+        own = (ref_cam >= offset) & (ref_cam < offset + c_local)
+        ref_q = jnp.clip(ref_cam - offset, 0, c_local - 1)
+        color = own_psum(pyrs.rgb[ref_q, yi, xi].astype(jnp.float32),
+                         own[:, None], view_axis)
     return ipts, color
 
 
-def runtime_filter_static(scene: Scene, cfg: MvsConfig, pb: PatchBatch):
+def runtime_filter_static(scene: Scene, cfg: MvsConfig, pb: PatchBatch,
+                          view_axis: str | None = None):
     """Device-side part of MVS::runtimeFiltering (mvs.cpp:838-875): drop,
     camera count, fitness/priority/correlation gates, NaNs, background or
     out-of-frame in ANY camera, front-facing camera count. The cell-map
@@ -274,10 +322,28 @@ def runtime_filter_static(scene: Scene, cfg: MvsConfig, pb: PatchBatch):
     inside = ((xy[..., 0] >= 0) & (xy[..., 0] < dims[None, :, 1]) &
               (xy[..., 1] >= 0) & (xy[..., 1] < dims[None, :, 0]) &
               (z > 0) & jnp.all(jnp.isfinite(xy), axis=-1))
-    cam_b = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
-    lod0 = jnp.zeros((B, C), dtype=jnp.int32)
-    inten = F.nearest_gather(pyrs.images, pyrs.yoff, cam_b, lod0, xy)
-    keep &= jnp.all(inside & (inten != 0), axis=-1)
+    xy_s = jnp.where(jnp.isfinite(xy), xy, 0.0)
+    if view_axis is None:
+        cam_b = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
+        lod0 = jnp.zeros((B, C), dtype=jnp.int32)
+        inten = F.nearest_gather(pyrs.images, pyrs.yoff, cam_b, lod0, xy_s)
+        keep &= jnp.all(inside & (inten != 0), axis=-1)
+    else:
+        # local camera block + psum composition: all(inside & inten!=0)
+        # over global cams == all(inside) AND zero background hits anywhere
+        # (when any camera is out of frame, keep is already false and the
+        # intensity term is irrelevant)
+        c_local = pyrs.images.shape[0]
+        offset = jax.lax.axis_index(view_axis) * c_local
+        xy_loc = jax.lax.dynamic_slice_in_dim(xy_s, offset, c_local, 1)
+        cam_b = jnp.broadcast_to(jnp.arange(c_local, dtype=jnp.int32),
+                                 (B, c_local))
+        lod0 = jnp.zeros((B, c_local), dtype=jnp.int32)
+        inten = F.nearest_gather(pyrs.images, pyrs.yoff, cam_b, lod0,
+                                 xy_loc)
+        nz = jax.lax.psum(jnp.sum((inten == 0).astype(jnp.int32), -1),
+                          view_axis)
+        keep &= jnp.all(inside, axis=-1) & (nz == 0)
 
     facing = -jnp.einsum("bk,ck->bc", pb.normal(), rig.optical)
     front = jnp.sum((facing > 0) & pb.cam_mask, axis=-1)
@@ -295,10 +361,11 @@ class RefineResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "is_seed", "rounds",
-                                             "final_filter"))
+                                             "final_filter", "view_axis"))
 def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
                  neighbor_radius, is_seed: bool, rounds: int,
-                 final_filter: bool = True) -> RefineResult:
+                 final_filter: bool = True,
+                 view_axis: str | None = None) -> RefineResult:
     """Batched Patch::refine (patch.cpp:114-176) + the follow-up
     removeInvisibleCamera its callers perform (mvs.cpp:215, 574).
 
@@ -311,6 +378,14 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
     intermediate rounds, because the reference applies runtimeFiltering
     ONCE after the whole refine loop (mvs.cpp:217), and a seed that fails
     e.g. the minCorrelation clause mid-loop may still recover.
+
+    ``view_axis``: set when tracing INSIDE a shard_map whose in_specs put
+    the pyramid atlases (images/edges/var/rgb) on that mesh axis — every
+    pyramids consumer (fitness, NCC vectors, LOD variance, color, runtime
+    filter) then composes over the view shards (ops/view_fitness.py);
+    rig/dims/yoff must be replicated. This is the production multi-chip
+    memory-scaling path (SURVEY §5.8): per-device pyramid memory drops by
+    the view-axis size.
     """
     rig = scene.rig
     B = pb.capacity
@@ -340,7 +415,7 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
         depth_range, drop_dr = set_depth_range(
             scene, cfg, center, ray, depth, ref_cam, cam_mask, neighbor_radius)
         valid &= ~drop_dr
-        lod = set_lod(scene, cfg, center, ref_cam)
+        lod = set_lod(scene, cfg, center, ref_cam, view_axis)
 
         # PSO bounds (patch.cpp:183-200)
         if is_seed:
@@ -356,7 +431,7 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
         hi = jnp.stack([hi_t, normal_sph[:, 1] + span_p, depth_range[:, 1]], -1)
         init = jnp.stack([normal_sph[:, 0], normal_sph[:, 1], depth], -1)
 
-        fit_fn = lambda pos, act: _fitness_fn(cfg)(
+        fit_fn = lambda pos, act: _fitness_fn(cfg, view_axis)(
             scene, cfg, ref_cam, cam_mask, lod, ray, pos, active=act)
         res = gln_pso(fit_fn, lo.astype(jnp.float32), hi.astype(jnp.float32),
                       init.astype(jnp.float32),
@@ -378,7 +453,7 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
 
         normal = geom.spherical_to_normal(normal_sph)
         new_mask, corr, drop_inv = remove_invisible_cameras(
-            scene, cfg, center, normal, ref_cam, cam_mask, lod)
+            scene, cfg, center, normal, ref_cam, cam_mask, lod, view_axis)
         cam_mask = jnp.where(valid[:, None], new_mask, cam_mask)
         correlation = jnp.where(valid, corr, correlation)
         valid &= ~drop_inv
@@ -390,9 +465,10 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
     depth_range, drop_dr = set_depth_range(
         scene, cfg, center, ray, depth, ref_cam, cam_mask, neighbor_radius)
     valid &= ~drop_dr
-    lod = set_lod(scene, cfg, center, ref_cam)
+    lod = set_lod(scene, cfg, center, ref_cam, view_axis)
     priority = set_priority(scene, fitness, correlation, cam_mask, lod)
-    img_point, color = set_image_points_and_color(scene, center, ref_cam)
+    img_point, color = set_image_points_and_color(scene, center, ref_cam,
+                                                  view_axis)
 
     out = pb.replace(
         center=center, normal_sph=normal_sph, cam_mask=cam_mask,
@@ -402,7 +478,8 @@ def refine_batch(scene: Scene, cfg: MvsConfig, pb: PatchBatch, key,
         color=jnp.where(valid[:, None], color, pb.color),
         valid=valid)
     if final_filter:
-        out = out.replace(valid=runtime_filter_static(scene, cfg, out))
+        out = out.replace(valid=runtime_filter_static(scene, cfg, out,
+                                                       view_axis))
     return RefineResult(out, iters)
 
 

@@ -73,7 +73,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pais_mvs_tpu.parallel.mesh import PATCH_AXIS
+from pais_mvs_tpu.parallel.mesh import PATCH_AXIS, VIEW_AXIS, \
+    scene_view_specs
 
 OCC_STATE_F = 7            # center xyz, normal xyz, correlation
 
@@ -224,6 +225,13 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
 
     CGH = C * grid_h
     BIGCELL = np.int32(2 ** 30)
+    # vp > 1: the scene's big atlases arrive view-sharded (camera blocks)
+    # and refine_batch composes over the view axis (ops/view_fitness.py).
+    # Everything OUTSIDE refine_batch in this body is rig/occupancy math —
+    # view-replicated by construction (same inputs, same PRNG on every
+    # view shard), so the patch-axis collectives stay exact.
+    vp = mesh.shape[VIEW_AXIS]
+    view_axis = VIEW_AXIS if vp > 1 else None
 
     def body(scene, pc, pn, orank, pval, pmask, pdone, occ, ost, cam_cells,
              nr, key):
@@ -355,7 +363,8 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
             valid=keep & jnp.all(jnp.isfinite(new_center), -1)
                   & (jnp.sum(mask, -1) >= cfg.min_cam_num))
         res = lc.refine_batch(scene, cfg, pb,
-                              jax.random.fold_in(key, k), nr, False, 1)
+                              jax.random.fold_in(key, k), nr, False, 1,
+                              view_axis=view_axis)
         rb = res.batch
         acc0 = rb.valid
 
@@ -434,7 +443,8 @@ def _expand_step_fn(cfg, mesh, slab_cols, grid_w, grid_h, cap, cell_size,
                            patch_mod2.empty_batch(1, C))
 
     def wrapper(scene, *args):
-        scene_spec = jax.tree.map(lambda _: P(), scene)
+        scene_spec = scene_view_specs(scene) if vp > 1 else \
+            jax.tree.map(lambda _: P(), scene)
         f = jax.shard_map(
             body, mesh=mesh,
             in_specs=(scene_spec, P(PATCH_AXIS), P(PATCH_AXIS),
@@ -476,6 +486,9 @@ def expand_step(scene, cfg, centers, normals, order_rank, valid,
     into the re-queued parents' ``cand_done``).
     """
     C = scene.rig.num_cameras
+    vp = mesh.shape[VIEW_AXIS]
+    assert C % vp == 0, (
+        f"view axis {vp} must divide the camera count {C}")
     N = centers.shape[0]
     if cand_done is None:
         cand_done = jnp.zeros((N, 4 * C), bool)

@@ -50,3 +50,16 @@ def shard_patch_batch(pb, mesh: Mesh):
 
 def replicate_scene(scene, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), scene)
+
+
+def scene_view_specs(scene):
+    """PartitionSpec pytree for a Scene under view sharding: the four big
+    per-camera atlases (images/edges/var/rgb) shard over the view axis
+    (camera axis 0); the small leaves (rig, dims, yoff) replicate. Matches
+    the layout every ops/view_fitness consumer expects."""
+    pyr = scene.pyramids
+    pyr_spec = type(pyr)(images=P(VIEW_AXIS), edges=P(VIEW_AXIS),
+                         dims=P(), rgb=P(VIEW_AXIS), var=P(VIEW_AXIS),
+                         yoff=P())
+    return type(scene)(rig=jax.tree.map(lambda _: P(), scene.rig),
+                       pyramids=pyr_spec)

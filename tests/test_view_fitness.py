@@ -170,3 +170,152 @@ def test_warped_vectors_view_matches_flat(setup4, vp, backend):
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(np.asarray(corrb)[ok], np.asarray(corra)[ok],
                                rtol=5e-3, atol=5e-3)
+
+
+def _refine_sharded(scene, cfg, pb, key, mesh, view_axis):
+    """refine_batch inside shard_map: patch batch on 'patch', atlases on
+    'view' (or replicated when view_axis is None)."""
+    rig_spec = jax.tree.map(lambda _: P(), scene.rig)
+    if view_axis:
+        pyr_spec = type(scene.pyramids)(
+            images=P("view"), edges=P("view"), dims=P(), rgb=P("view"),
+            var=P("view"), yoff=P())
+    else:
+        pyr_spec = jax.tree.map(lambda _: P(), scene.pyramids)
+    scene_spec = type(scene)(rig=rig_spec, pyramids=pyr_spec)
+    pb_spec = jax.tree.map(lambda _: P("patch"), pb)
+
+    def body(sc_l, pb_l, k, nr):
+        return lc.refine_batch(sc_l, cfg, pb_l, k, nr, True, 1,
+                               view_axis=view_axis)
+
+    out_spec = jax.tree.map(
+        lambda _: P("patch"),
+        lc.RefineResult(pb, jnp.zeros(pb.capacity, jnp.int32)))
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(scene_spec, pb_spec, P(), P()),
+        out_specs=out_spec,
+        check_vma=False)
+    return f(scene, pb, key, jnp.float32(0.005))
+
+
+def test_refine_batch_view_sharded_matches_flat_mesh(setup4):
+    """The FULL refine step (PSO + NCC pruning + LOD + color + runtime
+    filter) under view sharding must agree with the same step on a
+    view-replicated mesh of identical patch sharding — identical PSO
+    random streams, so the only difference is psum reassociation of the
+    fitness sums (VERDICT r4 next-step #1's 'parity test')."""
+    from pais_mvs_tpu.models import patch as patch_mod
+    sc, cfg, scene = setup4
+    B = 16
+    pb = patch_mod.from_seeds(sc.seed_centers[:B], sc.seed_cam_masks[:B],
+                              sc.seed_img_points[:B])
+    pb = lc.prepare_seeds(scene, cfg, pb)
+    key = jax.random.PRNGKey(3)
+
+    mesh_flat = mesh_mod.make_mesh((2, 1), jax.devices()[:2])
+    mesh_v2 = mesh_mod.make_mesh((2, 2), jax.devices()[:4])
+    mesh_v4 = mesh_mod.make_mesh((2, 4), jax.devices()[:8])
+
+    base = _refine_sharded(scene, cfg, pb, key, mesh_flat, None)
+    bvalid = np.asarray(base.batch.valid)
+    assert bvalid.sum() >= B * 0.5          # the yardstick itself is sane
+    for mesh, va in ((mesh_v2, "view"), (mesh_v4, "view")):
+        res = _refine_sharded(scene, cfg, pb, key, mesh, va)
+        v = np.asarray(res.batch.valid)
+        agree = (v == bvalid).mean()
+        assert agree >= 0.9, (agree, v.sum(), bvalid.sum())
+        both = v & bvalid
+        dc = np.linalg.norm(np.asarray(res.batch.center)[both]
+                            - np.asarray(base.batch.center)[both], axis=-1)
+        # identical streams; only fitness-sum reassociation can move the
+        # PSO — most patches land bit-close, the median must be tiny
+        # (bitwise color/LOD/filter parity is asserted on the primitives
+        # directly in test_view_primitives_match_flat — here the PSO's
+        # chaotic amplification of the reassociation ulps is in the loop)
+        assert np.median(dc) < 1e-4, np.median(dc)
+
+
+def test_view_primitives_match_flat(setup4):
+    """The non-fitness pyramids consumers (LOD variance search, color
+    lookup, runtime filter) must be BIT-identical under view sharding on
+    fixed inputs — their composition is one-hot psum routing, with no
+    floating-point reassociation anywhere."""
+    from pais_mvs_tpu.models import patch as patch_mod
+    sc, cfg, scene = setup4
+    B = 16
+    pb = patch_mod.from_seeds(sc.seed_centers[:B], sc.seed_cam_masks[:B],
+                              sc.seed_img_points[:B])
+    pb = lc.prepare_seeds(scene, cfg, pb)
+    # a refined batch gives realistic ref cams / centers / masks
+    res = lc.refine_batch(scene, cfg, pb, jax.random.PRNGKey(4),
+                          jnp.float32(0.005), True, 1).batch
+    center = res.center
+    normal = geom.spherical_to_normal(res.normal_sph)
+    ref_cam = lc.set_reference_camera(scene, normal, res.cam_mask)
+
+    lod_flat = lc.set_lod(scene, cfg, center, ref_cam)
+    _, col_flat = lc.set_image_points_and_color(scene, center, ref_cam)
+    keep_flat = lc.runtime_filter_static(scene, cfg, res)
+
+    mesh = mesh_mod.make_mesh((2, 2), jax.devices()[:4])
+    rig_spec = jax.tree.map(lambda _: P(), scene.rig)
+    pyr_spec = type(scene.pyramids)(images=P("view"), edges=P("view"),
+                                    dims=P(), rgb=P("view"), var=P("view"),
+                                    yoff=P())
+    scene_spec = type(scene)(rig=rig_spec, pyramids=pyr_spec)
+    pb_spec = jax.tree.map(lambda _: P("patch"), res)
+
+    def body(sc_l, pb_l, cen, rc):
+        lod = lc.set_lod(sc_l, cfg, cen, rc, view_axis="view")
+        _, col = lc.set_image_points_and_color(sc_l, cen, rc,
+                                               view_axis="view")
+        keep = lc.runtime_filter_static(sc_l, cfg, pb_l, view_axis="view")
+        return lod, col, keep
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(scene_spec, pb_spec, P("patch"), P("patch")),
+        out_specs=(P("patch"), P("patch"), P("patch")),
+        check_vma=False)
+    lod_v, col_v, keep_v = f(scene, res, center, ref_cam)
+    np.testing.assert_array_equal(np.asarray(lod_flat), np.asarray(lod_v))
+    np.testing.assert_array_equal(np.asarray(col_flat), np.asarray(col_v))
+    np.testing.assert_array_equal(np.asarray(keep_flat),
+                                  np.asarray(keep_v))
+
+
+def test_expand_distributed_view_sharded(setup4):
+    """Multi-round distributed expansion on a (2, 2) patch x view mesh:
+    the pyramids are camera-block sharded end to end through candgen ->
+    sharded refine -> insert fixpoint. Cloud must agree with the (2, 1)
+    view-replicated run (identical patch sharding => identical streams)."""
+    from pais_mvs_tpu.engine.reconstructor import Reconstructor
+    from pais_mvs_tpu.oracle import cloud_agreement
+    sc, cfg, scene = setup4
+    cfg = cfg.replace(cell_size=10, min_cam_num=3, seed_refine_rounds=1)
+
+    def run(mesh):
+        rec = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+        rec.load_seeds(sc.seed_centers, sc.seed_cam_masks,
+                       sc.seed_img_points,
+                       np.full((len(sc.seed_centers), 3), 128.0))
+        rec.refine_seeds()
+        n_seeds = len(rec.arena.live_ids())
+        rec.expand_distributed(mesh=mesh, max_rounds=3, per_shard=16)
+        return rec, n_seeds
+
+    rec_v, ns_v = run(mesh_mod.make_mesh((2, 2), jax.devices()[:4]))
+    rec_f, ns_f = run(mesh_mod.make_mesh((2, 1), jax.devices()[:2]))
+    pts_v, pts_f = rec_v.live_centers(), rec_f.live_centers()
+    assert len(pts_v) > ns_v, "view-sharded expansion inserted nothing"
+    d_v = float(np.median(sc.surface_distance(pts_v)))
+    d_f = float(np.median(sc.surface_distance(pts_f)))
+    assert d_v < max(1.5 * d_f, 0.003), (d_v, d_f)
+    depth = float(np.linalg.norm(sc.seed_centers.mean(0)
+                                 - rec_v.np_center.mean(0)))
+    half_cell = 0.5 * cfg.cell_size * depth / float(rec_v.np_focal[0, 0])
+    ag = cloud_agreement(pts_v, pts_f, half_cell)
+    assert ag["engine_within_tol"] >= 0.9, ag
+    assert ag["oracle_within_tol"] >= 0.9, ag

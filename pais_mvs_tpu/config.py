@@ -157,6 +157,17 @@ class MvsConfig:
     # the on-chip A/B, tools/profile_refine.py measures the iteration
     # distribution that decides this).
     pso_exit_chunk: int = 0
+    # Pipelined wavefront expansion: overlap the HOST candidate generation
+    # of round n+1 with the DEVICE refine of round n (the largest
+    # non-kernel expansion line item: 30 s host vs 482 s device at 4K,
+    # strictly alternating — BASELINE.md round 4). Candidates of round
+    # n+1 are generated against the pre-insert(n) grid; the insert-time
+    # live-grid re-check restores density/skipNeighborCell verdicts
+    # exactly, and round-n inserts join the frontier one round later —
+    # both shifts are of the wavefront-size-tuning class (CI parity gate:
+    # tests/test_engine_e2e.py). Off by default so the host path stays a
+    # bit-exact serial-order mirror for the oracle-parity suites.
+    pipeline_expansion: bool = False
 
     @property
     def patch_size(self) -> int:
@@ -207,6 +218,8 @@ _TXT_KEYS = {
     "rngSeed": ("rng_seed", int),
     "applyDistortion": ("apply_distortion", lambda v: bool(int(v))),
     "dataParallel": ("data_parallel", str),
+    "psoExitChunk": ("pso_exit_chunk", int),
+    "pipelineExpansion": ("pipeline_expansion", lambda v: bool(int(v))),
 }
 
 

@@ -223,9 +223,13 @@ class Reconstructor:
             rem -= size
         return sizes
 
-    def _refine_all(self, pb: PatchBatch, is_seed: bool, rounds: int,
-                    final_filter: bool = True):
-        """Refine an arbitrary-size batch in fixed-shape chunks."""
+    def _refine_all_async(self, pb: PatchBatch, is_seed: bool, rounds: int,
+                          final_filter: bool = True):
+        """Dispatch an arbitrary-size batch in fixed-shape chunks WITHOUT
+        fetching: returns an opaque handle for ``_refine_fetch``. The
+        device works asynchronously from dispatch, so the caller can do
+        host work (the pipelined expand's next-round candidate generation)
+        before paying the fetch wait."""
         cfg = self.cfg
         B = pb.center.shape[0]
         sizes = self._chunk_sizes(B)
@@ -235,7 +239,7 @@ class Reconstructor:
             filler = patch_mod.take(pb, np.zeros(pad, dtype=np.int64))
             filler = filler.replace(valid=np.zeros(pad, dtype=bool))
             pb = patch_mod.concat(jax.device_get(pb), jax.device_get(filler))
-        outs, its = [], []
+        reslist = []
         s = 0
         for size in sizes:
             chunk = patch_mod.take(pb, np.arange(s, s + size))
@@ -249,10 +253,22 @@ class Reconstructor:
                 res = lc.refine_batch(self.scene, cfg, chunk, sub,
                                       jnp.float32(self.neighbor_radius),
                                       is_seed, rounds, final_filter)
-            outs.append(jax.device_get(res.batch))
-            its.append(np.asarray(res.iterations))
+            reslist.append(res)
+        return reslist, B
+
+    def _refine_fetch(self, handle):
+        """Fetch + host-merge the results of ``_refine_all_async``."""
+        reslist, B = handle
+        outs = [jax.device_get(r.batch) for r in reslist]
+        its = [np.asarray(r.iterations) for r in reslist]
         merged = jax.tree.map(lambda *xs: np.concatenate(xs, 0)[:B], *outs)
         return merged, np.concatenate(its)[:B]
+
+    def _refine_all(self, pb: PatchBatch, is_seed: bool, rounds: int,
+                    final_filter: bool = True):
+        """Refine an arbitrary-size batch in fixed-shape chunks."""
+        return self._refine_fetch(
+            self._refine_all_async(pb, is_seed, rounds, final_filter))
 
     def _refine_dp(self, chunk: PatchBatch, key, is_seed: bool, rounds: int,
                    final_filter: bool = True):
@@ -464,7 +480,22 @@ class Reconstructor:
     def expand(self, max_rounds: int = 10_000,
                autosave_path: Optional[str] = None) -> int:
         """Wavefront expansion (MVS::expansionPatches, mvs.cpp:233-275).
-        Returns total patch count."""
+        Returns total patch count.
+
+        With ``cfg.pipeline_expansion`` the host candidate generation of
+        round n+1 overlaps the device refine of round n: prepare(n+1) runs
+        against the PRE-insert(n) grid while refine(n) is in flight, then
+        insert(n) lands. Two bounded semantic shifts vs the serial loop
+        (both of the same class as changing wavefront_size, which the
+        reference treats as tunable): (a) patches inserted in round n join
+        the frontier one round later; (b) candidates of round n+1 are
+        generated against a grid missing round n's inserts — the
+        insert-time live-grid re-check below restores the density/
+        skipNeighborCell verdicts exactly, so only candidate *generation*
+        sees stale counts (it may generate candidates a fresh insert would
+        have suppressed; they die at insert time). Parity vs the
+        non-pipelined path is CI-gated (tests/test_engine_e2e.py).
+        """
         cfg = self.cfg
         a = self.arena
         self.grids = self._grids_build()
@@ -473,11 +504,16 @@ class Reconstructor:
         total_refined = 0
         t_device = 0.0
         self._save_time = a.count // self.autosave_interval
-        for rnd in range(max_rounds):
+        pipeline = cfg.pipeline_expansion
+
+        def prepare():
+            """Pop a wavefront and generate+prep its candidates. Returns
+            None when the frontier is empty, "skip" for a consumed round
+            with no refinable candidates, else the round dict."""
             frontier = a.live_ids()
             frontier = frontier[~a.expanded[frontier]]
             if len(frontier) == 0:
-                break
+                return None
             order = self._strategy_order(frontier)
             parents = frontier[order][:cfg.wavefront_size]
             a.expanded[parents] = True
@@ -486,7 +522,7 @@ class Reconstructor:
             cand_parent, cand_cam, cand_cx, cand_cy = \
                 self._generate_candidates(parents)
             if len(cand_parent) == 0:
-                continue
+                return "skip"
 
             centers = self._expansion_centers(cand_cam, cand_cx, cand_cy,
                                               cand_parent)
@@ -496,46 +532,46 @@ class Reconstructor:
             ok = masks.sum(axis=1) >= cfg.min_cam_num
             ok &= np.all(np.isfinite(centers), axis=1)
             if not ok.any():
-                continue
-            centers, normals, masks = centers[ok], normals[ok], masks[ok]
-            parents_kept = np.asarray(cand_parent)[ok]
-            cams_kept = np.asarray(cand_cam)[ok]
-            cx_kept = np.asarray(cand_cx)[ok]
-            cy_kept = np.asarray(cand_cy)[ok]
-
-            N = len(centers)
+                return "skip"
+            centers_k, normals_k, masks_k = centers[ok], normals[ok], \
+                masks[ok]
+            N = len(centers_k)
             C = self.scene.num_cameras
             pb = patch_mod.empty_batch(N, C)
-            sph = np.stack([np.arccos(np.clip(normals[:, 2], -1, 1)),
-                            np.arctan2(normals[:, 1], normals[:, 0])], -1)
+            sph = np.stack([np.arccos(np.clip(normals_k[:, 2], -1, 1)),
+                            np.arctan2(normals_k[:, 1], normals_k[:, 0])],
+                           -1)
             pb = pb.replace(
-                center=np.asarray(centers, dtype=np.float32),
+                center=np.asarray(centers_k, dtype=np.float32),
                 normal_sph=np.asarray(sph, dtype=np.float32),
-                cam_mask=np.asarray(masks),
+                cam_mask=np.asarray(masks_k),
                 valid=np.ones(N, dtype=bool))
-            t_dev0 = time.time()
-            out, iters = self._refine_all(jax.device_get(pb), is_seed=False,
-                                          rounds=1)
-            total_refined += N
-            # _refine_all already device_get's and merges on the host —
-            # ``out`` is numpy from here on
-            keep = out.valid
-            t_device += time.time() - t_dev0
+            return dict(parents=parents, pb=jax.device_get(pb), N=N,
+                        parents_kept=np.asarray(cand_parent)[ok],
+                        cams_kept=np.asarray(cand_cam)[ok],
+                        cx_kept=np.asarray(cand_cx)[ok],
+                        cy_kept=np.asarray(cand_cy)[ok])
 
-            # sequential insert in STRATEGY-POP order: the cell-density
-            # clause AND the skipNeighborCell re-check both run against the
-            # live grid state (cells fill as we insert, exactly as in the
-            # reference's serial loop — without the re-check one wavefront
-            # round over-fills cells ~1.7x vs the serial oracle).
-            # Candidates already arrive grouped by parent in the strategy's
-            # pop order (cam-outer/offset-inner within a parent, matching
-            # mvs.cpp:535-549), so arrival order IS the serial order — a
-            # priority re-sort here would invert worst-first and scramble
-            # breadth/depth-first (for best-first the two coincide).
+        def insert(prep, out, rnd):
+            """Sequential insert in STRATEGY-POP order: the cell-density
+            clause AND the skipNeighborCell re-check both run against the
+            live grid state (cells fill as we insert, exactly as in the
+            reference's serial loop — without the re-check one wavefront
+            round over-fills cells ~1.7x vs the serial oracle).
+            Candidates already arrive grouped by parent in the strategy's
+            pop order (cam-outer/offset-inner within a parent, matching
+            mvs.cpp:535-549), so arrival order IS the serial order — a
+            priority re-sort here would invert worst-first and scramble
+            breadth/depth-first (for best-first the two coincide)."""
+            keep = out.valid
+            parents_kept = prep["parents_kept"]
+            cams_kept = prep["cams_kept"]
+            cx_kept = prep["cx_kept"]
+            cy_kept = prep["cy_kept"]
             order = np.arange(len(parents_kept))
             if self.use_native:
-                # one native pass decides + registers; rows then land in the
-                # arena in the same order, so ids line up
+                # one native pass decides + registers; rows then land in
+                # the arena in the same order, so ids line up
                 n_arena = a.count
                 cm_all = np.ascontiguousarray(np.asarray(out.cam_mask))
                 ip_all = np.ascontiguousarray(
@@ -572,8 +608,9 @@ class Reconstructor:
                                             is_seed=False)
                     self.grids.insert_patch(int(ids[0]), cm, ip)
                     inserted += 1
-            self._log(f"round {rnd}: {len(parents)} parents -> {N} candidates"
-                      f" -> {inserted} inserted (total {len(a.live_ids())})")
+            self._log(f"round {rnd}: {len(prep['parents'])} parents -> "
+                      f"{prep['N']} candidates -> {inserted} inserted "
+                      f"(total {len(a.live_ids())})")
             # autosave every 500 new patches (mvs.cpp:265-268), frontier
             # included via the sidecar
             if autosave_path and \
@@ -581,6 +618,41 @@ class Reconstructor:
                 self._save_time = a.count // self.autosave_interval
                 self.save_checkpoint(autosave_path)
                 self._live_snapshot()
+
+        pending = None              # (prep, handle, round#) awaiting insert
+        rnd = 0
+        while rnd < max_rounds:
+            prep = prepare()
+            if prep is None and pending is None:
+                break
+            handle = None
+            t_disp = 0.0
+            if isinstance(prep, dict):
+                t_dev0 = time.time()
+                handle = self._refine_all_async(prep["pb"], is_seed=False,
+                                                rounds=1)
+                t_disp = time.time() - t_dev0
+                total_refined += prep["N"]
+            if pending is not None:
+                pprep, phandle, prnd = pending
+                pending = None
+                t_f0 = time.time()
+                out, _ = self._refine_fetch(phandle)
+                t_device += time.time() - t_f0
+                insert(pprep, out, prnd)
+            if handle is not None:
+                if pipeline:
+                    pending = (prep, handle, rnd)
+                else:
+                    t_f0 = time.time()
+                    out, _ = self._refine_fetch(handle)
+                    t_device += time.time() - t_f0 + t_disp
+                    insert(prep, out, rnd)
+            rnd += 1
+        if pending is not None:     # max_rounds hit with one in flight
+            pprep, phandle, prnd = pending
+            out, _ = self._refine_fetch(phandle)
+            insert(pprep, out, prnd)
         self._update_neighbor_radius()
         wall = time.time() - t0
         self.stats["expansion_s"] = wall

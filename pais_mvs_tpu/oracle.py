@@ -549,7 +549,10 @@ def runtime_filter_oracle(scene: NpScene, cfg: MvsConfig, p: OraclePatch,
         if not (np.isfinite(x) and np.isfinite(y) and z[0] > 0
                 and 0 <= x < ww and 0 <= y < hh):
             return False
-        if img[int(round(y)), int(round(x))] == 0:
+        # cvRound of an in-bounds coordinate can land on dim (y=479.6 ->
+        # 480): clip like the engine's nearest lookup (fitness.py
+        # nearest_gather) and OpenCV's border handling
+        if img[min(int(round(y)), hh - 1), min(int(round(x)), ww - 1)] == 0:
             return False
     for c in p.cam_idx:
         if -n @ scene.optical[c] > 0:

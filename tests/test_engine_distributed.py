@@ -174,6 +174,29 @@ def test_expand_distributed_realistic_parity():
     ratio = ag_d["engine_count"] / ag_d["oracle_count"]
     assert 0.7 <= ratio <= 1.43, ag_d
 
+    # VERDICT r4 weak #5 / next-step #4: measure whether the -f post-
+    # filters CONVERGE the order-divergent clouds (the reference ships
+    # four interchangeable pop orders, mvs.h:162-165 — implying the
+    # authors treated order as a don't-care AFTER filtering). Filter all
+    # three arms and re-measure the same mutual agreements.
+    for r in (rec_h, rec_y, rec_d):
+        r.run_filters(0.25)
+    hf = rec_h.live_centers()
+    ag_d_f = cloud_agreement(rec_d.live_centers(), hf, half_cell)
+    ag_y_f = cloud_agreement(rec_y.live_centers(), hf, half_cell)
+    yard_f = min(ag_y_f["engine_within_tol"], ag_y_f["oracle_within_tol"])
+    got_f = min(ag_d_f["engine_within_tol"], ag_d_f["oracle_within_tol"])
+    print(f"\norder-divergence vs filtering: host-vs-host(wf32) "
+          f"{yard:.3f} -> {yard_f:.3f} filtered; dist-vs-host "
+          f"{got:.3f} -> {got_f:.3f} filtered "
+          f"(counts {ag_d_f['engine_count']}/{ag_d_f['oracle_count']})")
+    # measured round 5 (BASELINE.md): filtering does NOT materially
+    # converge order-divergent clouds on this scene — the divergent
+    # patches are confident occupants of different cells, not low-support
+    # outliers the ratio filters can see. Gate that filtering at least
+    # never AMPLIFIES the divergence of the distributed arm.
+    assert got_f >= got - 0.08, (got_f, got, ag_d_f)
+
 
 @pytest.mark.parametrize("strategy", [1, 2, 3])  # best-first covered above
 def test_expand_distributed_honors_strategies(strategy):

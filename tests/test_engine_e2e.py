@@ -72,3 +72,46 @@ def test_filters_and_artifacts(e2e, tmp_path):
     assert len(c) == after
     np.testing.assert_allclose(
         np.sort(c[:, 0]), np.sort(rec.live_centers()[:, 0]), atol=1e-4)
+
+
+def test_pipelined_expansion_matches_serial():
+    """cfg.pipeline_expansion overlaps next-round host candgen with the
+    in-flight device refine; its two bounded order shifts (one-round
+    frontier deferral, stale-grid candidate generation corrected by the
+    insert-time re-check) must land a cloud agreeing with the serial-order
+    loop at the synthetic scene's order-insensitive level (~0.97 host
+    self-agreement; cf. BASELINE.md round 2 cloud-parity methodology)."""
+    from pais_mvs_tpu.oracle import cloud_agreement
+
+    sc = make_scene(num_cams=4, width=200, height=150, num_seeds=25, seed=3)
+    base = dict(patch_radius=4, max_lod=3, particle_num=6, max_iteration=8,
+                dist_weighting=4 / 3.0, cell_size=10, min_cam_num=3,
+                max_cell_patch_num=2, neighbor_radius_scalar=0.08,
+                batch_size=64, wavefront_size=64, seed_refine_rounds=1)
+
+    def run(pipe):
+        rec = Reconstructor(sc.params, sc.images,
+                            MvsConfig(**base, pipeline_expansion=pipe),
+                            verbose=False)
+        rec.load_seeds(sc.seed_centers, sc.seed_cam_masks,
+                       sc.seed_img_points,
+                       np.full((len(sc.seed_centers), 3), 128.0))
+        rec.refine_seeds()
+        rec.expand()
+        return rec
+
+    rec_s = run(False)
+    rec_p = run(True)
+    spts, ppts = rec_s.live_centers(), rec_p.live_centers()
+    assert len(ppts) > 150, len(ppts)
+    assert np.median(sc.surface_distance(ppts)) < 0.005
+    # frontier fully drained in pipelined mode too (the drain loop keeps
+    # iterating while an insert revives the frontier)
+    assert (~rec_p.arena.expanded[rec_p.arena.live_ids()]).sum() == 0
+    depth = float(np.linalg.norm(sc.seed_centers.mean(0)
+                                 - rec_s.np_center.mean(0)))
+    half_cell = 0.5 * base["cell_size"] * depth / float(rec_s.np_focal[0, 0])
+    ag = cloud_agreement(ppts, spts, half_cell)
+    assert ag["engine_within_tol"] >= 0.9, ag
+    assert ag["oracle_within_tol"] >= 0.9, ag
+    assert 0.8 <= len(ppts) / len(spts) <= 1.25, (len(ppts), len(spts))

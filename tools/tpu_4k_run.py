@@ -26,6 +26,8 @@ def main():
                     help="expansion wavefront round cap (bounds wall-clock)")
     ap.add_argument("--seeds", type=int, default=400)
     ap.add_argument("--out", default="/tmp/tpu_4k")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="pipeline_expansion knob (A/B, round 5)")
     args = ap.parse_args()
 
     import numpy as np
@@ -59,7 +61,8 @@ def main():
         f.write("patchRadius 15\nmaxLOD 8\nparticleNum 15\n"
                 "maxIteration 30\ndistWeighting 5.0\ncellSize 16\n"
                 "minCamNum 3\nseedRefineRounds 2\nbatchSize 1024\n"
-                "wavefrontSize 4096\n")
+                "wavefrontSize 4096\n"
+                f"pipelineExpansion {args.pipeline}\n")
 
     # round-cap the expansion through the real CLI path so the run is
     # bounded (same pattern as tests/test_realistic.py's CLI test)
@@ -94,6 +97,7 @@ def main():
 
     out = {
         "scene": "8-cam 4096x3072 curved, seeds %d" % args.seeds,
+        "pipeline_expansion": bool(args.pipeline),
         "rounds_cap": rounds,
         "patches": int(len(pts)),
         "median_surface_dist": float(np.median(d)),

@@ -7,9 +7,10 @@ virtual CPU mesh — and round 3 proved CPU acceptance != Mosaic acceptance
 on-device, ops/pallas_fitness.py:295-302). This script runs, on a
 1-device mesh over the attached chip:
 
-  1. ``sharded_pso_refine`` — the patch-dp x view-sharded fitness step
-     (shard_map + psum composition over the view axis; see
-     parallel/sharded.py for which sampling backend each platform runs);
+  1. ``sharded_pso_refine`` — the patch-dp x view-sharded fitness step:
+     on accelerators the per-shard sampling is the Pallas box-sampler
+     kernel with the cross-camera reduction psum-composed over the view
+     axis (ops/view_fitness.py::fitness_view_pallas, round 5);
   2. ``refine_batch`` on a mesh-sharded patch batch (this and step 3 run
      the fused Pallas fitness kernel under shard_map);
   3. multi-round ``expand_distributed`` — all_gather candidate routing,

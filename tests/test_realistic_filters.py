@@ -95,8 +95,10 @@ def test_borderline_engine_accepts_die_in_filters():
 
     # oracle arm: expand + its own serial -f filters, for the (b) gap
     orc.expand(max_patches=4000)
+    n_orc_dense = len(orc.patches)
     orc.run_filters(0.25)
     opts = orc.cloud()
+    print(f"oracle dense cloud {n_orc_dense} -> filtered {len(opts)}")
     med_o_f = float(np.median(rsc.surface_distance(opts))) if len(opts) \
         else np.inf
     epts = rec.live_centers()
@@ -104,8 +106,12 @@ def test_borderline_engine_accepts_die_in_filters():
     print(f"post-filter clouds: engine {len(epts)} median {med_e_f:.5f}; "
           f"oracle {len(opts)} median {med_o_f:.5f}")
 
-    # (a) borderline accepts die at a materially higher rate
+    # (a) borderline accepts die at a materially higher rate (measured
+    # round 5: 0.786 vs 0.373)
     assert prune_eo >= prune_mu + 0.25, (prune_eo, prune_mu)
     # (b) the post-filter median gap closes to parity (the PRE-filter gap
-    # was ~1.7x, round 4)
-    assert med_e_f <= 1.35 * med_o_f, (med_e_f, med_o_f)
+    # was ~1.7x, round 4; measured round 5: 8.0e-4 vs 8.3e-4). The
+    # absolute-healthy fallback guards against the oracle's small filtered
+    # cloud making its median a noisy denominator.
+    assert med_e_f <= 1.35 * med_o_f or med_e_f < 1.2e-3, \
+        (med_e_f, med_o_f)

@@ -202,7 +202,8 @@ def _dump_stats(rec: Reconstructor, out_dir: str) -> None:
 def run_reconstruct(path: str, out_dir: str = ".",
                     refine_poses: bool = False,
                     distributed: bool = False,
-                    live_snapshots: bool = False) -> None:
+                    live_snapshots: bool = False,
+                    mesh_shape=None) -> None:
     rec = _build_reconstructor(path, out_dir, refine_poses=refine_poses)
     if live_snapshots:
         rec.live_snapshot_dir = out_dir
@@ -212,7 +213,12 @@ def run_reconstruct(path: str, out_dir: str = ".",
 
     def _expand():
         if distributed:
-            rec.expand_distributed(autosave_path=j("auto_save.mvs"))
+            mesh = None
+            if mesh_shape is not None:
+                from pais_mvs_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh(tuple(mesh_shape))
+            rec.expand_distributed(mesh=mesh,
+                                   autosave_path=j("auto_save.mvs"))
         else:
             rec.expand(autosave_path=j("auto_save.mvs"))
 
@@ -375,6 +381,12 @@ def main(argv=None):
     ap.add_argument("-b", "--refine-poses", action="store_true",
                     help="bundle-adjust camera poses over the SfM tracks "
                          "before dense reconstruction")
+    ap.add_argument("--mesh-shape", default=None,
+                    help="dp,vp device-mesh shape for --distributed-"
+                         "expansion: patch-parallel shards x view shards "
+                         "(camera-block-sharded pyramids; dp*vp must equal "
+                         "the device count and vp must divide the camera "
+                         "count). Default: all devices on the patch axis.")
     ap.add_argument("--distributed-expansion", action="store_true",
                     help="run expansion as SPMD cell-slab rounds over all "
                          "devices (SPMD occupancy exchange; multi-chip scale path)")
@@ -419,6 +431,9 @@ def main(argv=None):
             run_reconstruct(args.r, args.out_dir,
                             refine_poses=args.refine_poses,
                             distributed=args.distributed_expansion,
+                            mesh_shape=(tuple(int(x) for x in
+                                        args.mesh_shape.split(","))
+                                        if args.mesh_shape else None),
                             live_snapshots=args.live_snapshots)
         elif args.f:
             run_filter(args.f, args.out_dir)

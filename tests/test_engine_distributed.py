@@ -174,13 +174,24 @@ def test_expand_distributed_realistic_parity():
     ratio = ag_d["engine_count"] / ag_d["oracle_count"]
     assert 0.7 <= ratio <= 1.43, ag_d
 
-    # VERDICT r4 weak #5 / next-step #4: measure whether the -f post-
-    # filters CONVERGE the order-divergent clouds (the reference ships
-    # four interchangeable pop orders, mvs.h:162-165 — implying the
-    # authors treated order as a don't-care AFTER filtering). Filter all
-    # three arms and re-measure the same mutual agreements.
+    # VERDICT r4 weak #5 / next-step #4: measure whether the post-filters
+    # CONVERGE the order-divergent clouds (the reference ships four
+    # interchangeable pop orders, mvs.h:162-165 — implying the authors
+    # treated order as a don't-care AFTER filtering). The three
+    # STRUCTURAL filters (cell / visibility / neighbor-cell) are
+    # measured; neighborPatchFiltering is excluded here because on this
+    # scene it is DEGENERATE — patch spacing (~cell_size*depth/focal
+    # ~0.02) far exceeds neighborRadius (~0.0076), so every count is ~0
+    # and the kill set flips between nothing (avg exactly 0 -> threshold
+    # 0) and everything (one close pair -> tiny positive threshold) — a
+    # knife edge that faithfully mirrors the reference's Euclidean-count
+    # rule (mvs.cpp:448-525) but measures radius calibration, not order.
+    # Measured round 5: the host arms landed on opposite sides of that
+    # knife edge (4 vs 1079 survivors), which is recorded in BASELINE.md.
     for r in (rec_h, rec_y, rec_d):
-        r.run_filters(0.25)
+        r.cell_filtering()
+        r.visibility_filtering()
+        r.neighbor_cell_filtering(0.25)
     hf = rec_h.live_centers()
     ag_d_f = cloud_agreement(rec_d.live_centers(), hf, half_cell)
     ag_y_f = cloud_agreement(rec_y.live_centers(), hf, half_cell)
@@ -190,11 +201,9 @@ def test_expand_distributed_realistic_parity():
           f"{yard:.3f} -> {yard_f:.3f} filtered; dist-vs-host "
           f"{got:.3f} -> {got_f:.3f} filtered "
           f"(counts {ag_d_f['engine_count']}/{ag_d_f['oracle_count']})")
-    # measured round 5 (BASELINE.md): filtering does NOT materially
-    # converge order-divergent clouds on this scene — the divergent
-    # patches are confident occupants of different cells, not low-support
-    # outliers the ratio filters can see. Gate that filtering at least
-    # never AMPLIFIES the divergence of the distributed arm.
+    # gate: the structural filters must never AMPLIFY the distributed
+    # arm's divergence (whether they converge it is the recorded
+    # measurement, BASELINE.md round 5)
     assert got_f >= got - 0.08, (got_f, got, ag_d_f)
 
 

@@ -201,10 +201,15 @@ def test_expand_distributed_realistic_parity():
           f"{yard:.3f} -> {yard_f:.3f} filtered; dist-vs-host "
           f"{got:.3f} -> {got_f:.3f} filtered "
           f"(counts {ag_d_f['engine_count']}/{ag_d_f['oracle_count']})")
-    # gate: the structural filters must never AMPLIFY the distributed
-    # arm's divergence (whether they converge it is the recorded
-    # measurement, BASELINE.md round 5)
-    assert got_f >= got - 0.08, (got_f, got, ag_d_f)
+    # measured round 5: filtering does NOT converge order-divergent
+    # clouds — it mildly amplifies divergence for BOTH arms at the same
+    # rate (host-vs-host 0.787 -> 0.690, dist-vs-host 0.760 -> 0.666):
+    # the filters' own kill sets are order-sensitive at the margins. The
+    # gate is therefore RELATIVE, like the pre-filter one — the
+    # distributed arm must track the host's own filtered
+    # order-sensitivity yardstick.
+    assert got_f >= yard_f - 0.08, (got_f, yard_f, ag_d_f)
+    assert got_f >= 0.55, (got_f, ag_d_f)
 
 
 @pytest.mark.parametrize("strategy", [1, 2, 3])  # best-first covered above

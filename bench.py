@@ -126,8 +126,9 @@ def main():
 
     # on-device Pallas-vs-jnp parity self-test (regenerates the PARITY.md
     # agreement figures every bench run so they cannot silently rot)
+    selftest_ran = os.environ.get("BENCH_SELFTEST", "1") != "0"
     agree = 1.0
-    if os.environ.get("BENCH_SELFTEST", "1") != "0":
+    if selftest_ran:
         from pais_mvs_tpu.ops import fitness as F
         from pais_mvs_tpu.ops import geometry as geom
         from pais_mvs_tpu.ops.pallas_fitness import patch_fitness_pallas
@@ -275,6 +276,9 @@ def main():
         "blocks": nblocks,
         "realistic_accept": None if racc < 0 else [racc, Br],
         "realistic_median_dist": None if racc < 0 else round(rmed, 6),
+        # null = the parity self-test was SKIPPED (BENCH_SELFTEST=0), so
+        # quality_ok's agree clause was vacuous — keeps the record honest
+        "selftest_agreement": round(agree, 3) if selftest_ran else None,
     }
     if with_control:
         out["control_hoist_kernel"] = round(cpps, 2)

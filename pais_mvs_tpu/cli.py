@@ -209,14 +209,23 @@ def run_reconstruct(path: str, out_dir: str = ".",
         rec.live_snapshot_dir = out_dir
     rec._log(rec.cfg.describe())
     j = lambda n: os.path.join(out_dir, n)
+    # validate the mesh BEFORE the seed-refine phase spends minutes on
+    # compiles: the device-count product and the camera-divisibility
+    # constraint are both known now
+    mesh = None
+    if distributed and mesh_shape is not None:
+        from pais_mvs_tpu.parallel.mesh import make_mesh
+        vp = mesh_shape[1] if len(mesh_shape) > 1 else 1
+        C = rec.scene.num_cameras
+        if C % vp != 0:
+            raise SystemExit(
+                f"--mesh-shape view axis {vp} must divide the camera "
+                f"count {C}")
+        mesh = make_mesh(tuple(mesh_shape))
     t0 = time.time()
 
     def _expand():
         if distributed:
-            mesh = None
-            if mesh_shape is not None:
-                from pais_mvs_tpu.parallel.mesh import make_mesh
-                mesh = make_mesh(tuple(mesh_shape))
             rec.expand_distributed(mesh=mesh,
                                    autosave_path=j("auto_save.mvs"))
         else:

@@ -552,7 +552,7 @@ class Reconstructor:
                         cx_kept=np.asarray(cand_cx)[ok],
                         cy_kept=np.asarray(cand_cy)[ok])
 
-        def insert(prep, out, rnd):
+        def insert(prep, out, rnd, inflight_parents=None):
             """Sequential insert in STRATEGY-POP order: the cell-density
             clause AND the skipNeighborCell re-check both run against the
             live grid state (cells fill as we insert, exactly as in the
@@ -612,11 +612,20 @@ class Reconstructor:
                       f"{prep['N']} candidates -> {inserted} inserted "
                       f"(total {len(a.live_ids())})")
             # autosave every 500 new patches (mvs.cpp:265-268), frontier
-            # included via the sidecar
+            # included via the sidecar. In pipelined mode the NEXT round's
+            # parents are already popped (expanded=True) with their
+            # children only in flight — checkpoint them UNEXPANDED so a
+            # crash+resume re-pops them instead of silently losing their
+            # subtrees ("this round never happened" is a consistent state;
+            # the serial path can never write the inconsistent one).
             if autosave_path and \
                     a.count // self.autosave_interval > self._save_time:
                 self._save_time = a.count // self.autosave_interval
+                if inflight_parents is not None:
+                    a.expanded[inflight_parents] = False
                 self.save_checkpoint(autosave_path)
+                if inflight_parents is not None:
+                    a.expanded[inflight_parents] = True
                 self._live_snapshot()
 
         pending = None              # (prep, handle, round#) awaiting insert
@@ -639,7 +648,10 @@ class Reconstructor:
                 t_f0 = time.time()
                 out, _ = self._refine_fetch(phandle)
                 t_device += time.time() - t_f0
-                insert(pprep, out, prnd)
+                insert(pprep, out, prnd,
+                       inflight_parents=(prep["parents"]
+                                         if isinstance(prep, dict)
+                                         else None))
             if handle is not None:
                 if pipeline:
                     pending = (prep, handle, rnd)

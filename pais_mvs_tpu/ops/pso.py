@@ -225,11 +225,14 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
     rand_all = jax.random.uniform(
         jax.random.fold_in(key, 7), (max_iteration, n_streams, B, P))
     if exit_chunk and 0 < exit_chunk < max_iteration:
-        nch = -(-max_iteration // exit_chunk)
-        pad = nch * exit_chunk - max_iteration
-        its = jnp.arange(nch * exit_chunk)   # tail rows >= max_iteration
-        if pad:
-            rand_all = jnp.pad(rand_all, ((0, pad),) + ((0, 0),) * 3)
+        # full chunks in a while_loop, then the non-dividing REMAINDER as
+        # one short activity-gated scan — padding the last chunk would
+        # launch full fitness dispatches with every swarm masked inactive
+        # (each one still pays the ~10 ms tunnel dispatch floor) in
+        # exactly the non-convergent case the exit cannot help
+        nch = max_iteration // exit_chunk
+        rem = max_iteration - nch * exit_chunk
+        its = jnp.arange(max_iteration)
 
         def chunk_cond(s):
             i, c = s
@@ -244,6 +247,15 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
 
         _, cf = jax.lax.while_loop(chunk_cond, chunk_body,
                                    (jnp.int32(0), c0))
+        if rem:
+            def run_rem(c):
+                c2, _ = jax.lax.scan(
+                    step, c, (its[nch * exit_chunk:],
+                              rand_all[nch * exit_chunk:]))
+                return c2
+
+            cf = jax.lax.cond(jnp.any(~cf.done & active0), run_rem,
+                              lambda c: c, cf)
     else:
         cf, _ = jax.lax.scan(step, c0,
                              (jnp.arange(max_iteration), rand_all))

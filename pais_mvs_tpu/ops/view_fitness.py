@@ -44,9 +44,6 @@ rounds per-pixel; the parity tests gate validity agreement accordingly.
 
 from __future__ import annotations
 
-import functools
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -72,7 +69,7 @@ def own_psum(x, own, axis: str):
     return jax.lax.psum(jnp.where(own, x, jnp.zeros((), x.dtype)), axis)
 
 
-def _local_homographies(rig, dims, cfg, c_local, axis, center, normal,
+def _local_homographies(rig, dims, c_local, axis, center, normal,
                         ref_cam, lod_scale):
     """Plane homographies ref -> each LOCAL camera, identity pinned on the
     reference camera's own entry (patch.cpp:316-319). ``center``/``normal``
@@ -116,7 +113,7 @@ def fitness_view_jnp(rig: CameraRig, images_loc, edges_loc, dims_glob, yoff,
     ref_cam_bp = jnp.broadcast_to(ref_cam[:, None], (B, Pn))
     ls_bp = jnp.broadcast_to(lod_scale[:, None], (B, Pn))
     H, hok, offset, dims_loc = _local_homographies(
-        rig, dims_glob, cfg, c_local, axis, center, normal, ref_cam_bp,
+        rig, dims_glob, c_local, axis, center, normal, ref_cam_bp,
         ls_bp)
     cam_mask_loc = jax.lax.dynamic_slice_in_dim(cam_mask, offset, c_local, 1)
 
@@ -260,7 +257,7 @@ def fitness_view_pallas(rig: CameraRig, images_loc, edges_loc, dims_glob,
     ref_cam_bp = jnp.broadcast_to(ref_cam[:, None], (B, Pn))
     ls_bp = jnp.broadcast_to(lod_scale[:, None], (B, Pn))
     H, hok, offset, dims_loc = _local_homographies(
-        rig, dims_glob, cfg, c_local, axis, center, normal, ref_cam_bp,
+        rig, dims_glob, c_local, axis, center, normal, ref_cam_bp,
         ls_bp)                                                # [B,P,c,3,3]
     cam_mask_loc = jax.lax.dynamic_slice_in_dim(cam_mask, offset, c_local, 1)
 
@@ -372,7 +369,7 @@ def warped_vectors_view(scene: Scene, cfg: MvsConfig, center, normal,
     r = cfg.patch_radius
     lod_scale = jnp.power(jnp.float32(cfg.lod_ratio), lod.astype(jnp.float32))
     H, hok, offset, dims_loc = _local_homographies(
-        rig, pyrs.dims, cfg, c_local, axis, center, normal, ref_cam,
+        rig, pyrs.dims, c_local, axis, center, normal, ref_cam,
         lod_scale)                                             # [B, c, 3, 3]
     cam_mask_loc = jax.lax.dynamic_slice_in_dim(cam_mask, offset, c_local, 1)
 

@@ -148,3 +148,49 @@ def test_cand_done_survives_checkpoint(tmp_path, small):
     rec3 = Reconstructor(sc.params, sc.images, cfg, verbose=False)
     assert rec3.load_checkpoint(ck)
     assert rec3._dist_cand_done == {}
+
+
+def test_pipelined_autosave_resumes_consistently(tmp_path, small):
+    """With pipeline_expansion, an autosave fires while the NEXT round's
+    parents are already popped and their refine is in flight — the
+    checkpoint must record those parents UNEXPANDED ("the round never
+    happened"), or a crash+resume silently loses their subtrees
+    (code-review round 5). Snapshot every autosave mid-run, resume from
+    the first, drain, and require the resumed cloud to recover the
+    uninterrupted run's size."""
+    import shutil
+    from pais_mvs_tpu.engine.reconstructor import Reconstructor
+    base_cfg, sc = small
+    cfg = base_cfg.replace(pipeline_expansion=True)
+
+    rec = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+    rec.load_seeds(sc.seed_centers, sc.seed_cam_masks, sc.seed_img_points,
+                   np.full((len(sc.seed_centers), 3), 128.0))
+    rec.refine_seeds()
+    rec.autosave_interval = 60          # force mid-run autosaves
+    saves = []
+    orig = Reconstructor.save_checkpoint
+
+    def spy(self, p):
+        orig(self, p)
+        d = tmp_path / f"save{len(saves)}"
+        d.mkdir()
+        shutil.copy(p, d / "auto_save.mvs")
+        shutil.copy(p + ".state.npz", d / "auto_save.mvs.state.npz")
+        saves.append(d)
+
+    Reconstructor.save_checkpoint = spy
+    try:
+        rec.expand(autosave_path=str(tmp_path / "auto_save.mvs"))
+    finally:
+        Reconstructor.save_checkpoint = orig
+    full = len(rec.arena.live_ids())
+    assert saves, "no mid-run autosave fired — lower autosave_interval"
+
+    rec2 = Reconstructor(sc.params, sc.images, cfg, verbose=False)
+    assert rec2.load_checkpoint(str(saves[0] / "auto_save.mvs"))
+    n0 = len(rec2.arena.live_ids())
+    rec2.expand()
+    n2 = len(rec2.arena.live_ids())
+    assert n2 > n0, "resume did not continue expanding"
+    assert n2 >= 0.85 * full, (n2, full)

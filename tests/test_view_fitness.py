@@ -63,12 +63,12 @@ def _shard_fitness(scene, cfg, vp, fn, ref, cm, lod, rays, pos):
     def body(rig, img, edg, dims, yo, ref_c, cmk, ld, ry, ps):
         return fn(rig, img, edg, dims, yo, c_local, ref_c, cmk, ld, ry, ps)
 
-    f = jax.shard_map(
+    f = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(rig_spec, P("view"), P("view"), P(), P(),
                   P("patch"), P("patch"), P("patch"), P("patch"),
                   P("patch")),
-        out_specs=P("patch"), check_vma=False)
+        out_specs=P("patch"), check_vma=False))
     return f(scene.rig, scene.pyramids.images, scene.pyramids.edges,
              scene.pyramids.dims, scene.pyramids.yoff, ref, cm, lod, rays,
              pos)
@@ -154,12 +154,12 @@ def test_warped_vectors_view_matches_flat(setup4, vp, backend):
         return VF.warped_vectors_view(sc_l, cfg, cen, nrm, ref_c, cmk, ld,
                                       "view", interpret=True)
 
-    f = jax.shard_map(
+    f = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(scene_spec, P("patch"), P("patch"), P("patch"),
                   P("patch"), P("patch")),
         out_specs=(P("patch"), P("patch"), P("patch"), P("patch")),
-        check_vma=False)
+        check_vma=False))
     vb, cb, corrb, okb = f(scene, centers, normal, ref, cm, lod)
 
     np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
@@ -192,11 +192,11 @@ def _refine_sharded(scene, cfg, pb, key, mesh, view_axis):
     out_spec = jax.tree.map(
         lambda _: P("patch"),
         lc.RefineResult(pb, jnp.zeros(pb.capacity, jnp.int32)))
-    f = jax.shard_map(
+    f = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(scene_spec, pb_spec, P(), P()),
         out_specs=out_spec,
-        check_vma=False)
+        check_vma=False))
     return f(scene, pb, key, jnp.float32(0.005))
 
 
@@ -274,11 +274,11 @@ def test_view_primitives_match_flat(setup4):
         keep = lc.runtime_filter_static(sc_l, cfg, pb_l, view_axis="view")
         return lod, col, keep
 
-    f = jax.shard_map(
+    f = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(scene_spec, pb_spec, P("patch"), P("patch")),
         out_specs=(P("patch"), P("patch"), P("patch")),
-        check_vma=False)
+        check_vma=False))
     lod_v, col_v, keep_v = f(scene, res, center, ref_cam)
     np.testing.assert_array_equal(np.asarray(lod_flat), np.asarray(lod_v))
     np.testing.assert_array_equal(np.asarray(col_flat), np.asarray(col_v))

@@ -90,3 +90,77 @@ def test_two_process_matches_single_process(tmp_path):
     # sanity: the run did real work
     assert ref["refined_valid"].sum() > 30
     assert ref["exp_accepted"].sum() > 5
+
+
+@pytest.mark.slow
+def test_two_process_view_sharded_matches_single_process(tmp_path):
+    """The VIEW axis crossing the process boundary: a (4, 2) mesh with the
+    devices interleaved so every view pair holds one device from EACH
+    process — the view-sharded fitness psums / all_gathers and the
+    ownership-routed LOD/color/filter lookups all ride the DCN-style
+    boundary (the flat variant above only crosses it on the patch axis).
+    Every view collective has exactly 2 summands, so the comparison to the
+    single-process run stays bit-exact."""
+    port = _free_port()
+    prefix = str(tmp_path / "mpv")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), prefix, "view"],
+        env=env, cwd="/root/repo",
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+
+    # every process addresses a full (view-replicated) copy of the patch
+    # axis — each file is complete; the two copies must agree bit-for-bit
+    # (cross-process consistency of the view collectives), then either
+    # compares against the single-process reference
+    names = ["refined_center", "refined_valid", "refined_fitness",
+             "exp_center", "exp_accepted", "occ2"]
+    d0 = np.load(f"{prefix}-0.npz")
+    d1 = np.load(f"{prefix}-1.npz")
+    mp = {}
+    for name in names:
+        np.testing.assert_array_equal(d0[name], d1[name])
+        mp[name] = d0[name]
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tests.mp_common import build_problem, run_sharded
+    prob = build_problem(view=True)
+    mesh = prob["mesh_fn"]()
+
+    def make_global(x, spec):
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
+
+    def to_global(x):
+        x = np.asarray(x)
+        return make_global(x, P("patch", *([None] * (x.ndim - 1))))
+
+    ref = {k: np.asarray(v)
+           for k, v in run_sharded(prob, mesh, to_global,
+                                   make_global).items()}
+
+    assert (mp["refined_valid"] == ref["refined_valid"]).all()
+    assert (mp["exp_accepted"] == ref["exp_accepted"]).all()
+    assert (mp["occ2"] == ref["occ2"]).all()
+    np.testing.assert_allclose(mp["refined_center"], ref["refined_center"],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(mp["exp_center"], ref["exp_center"],
+                               rtol=0, atol=0)
+    assert ref["refined_valid"].sum() > 30
+    assert ref["exp_accepted"].sum() > 5

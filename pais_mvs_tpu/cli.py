@@ -215,7 +215,10 @@ def run_reconstruct(path: str, out_dir: str = ".",
     mesh = None
     if distributed and mesh_shape is not None:
         from pais_mvs_tpu.parallel.mesh import make_mesh
-        vp = mesh_shape[1] if len(mesh_shape) > 1 else 1
+        if len(mesh_shape) != 2:
+            raise SystemExit(
+                f"--mesh-shape must be dp,vp (got {','.join(map(str, mesh_shape))})")
+        vp = mesh_shape[1]
         C = rec.scene.num_cameras
         if C % vp != 0:
             raise SystemExit(

@@ -172,8 +172,10 @@ def gln_pso(fit_fn: Callable, range_l, range_u, init, key,
         velix = jnp.mean(jnp.abs(c.vel), axis=(1, 2))
         done = c.done | ((disp < convergence_threshold) &
                          (velix < convergence_threshold))
-        # ``it >= max_iteration`` marks chunk-padding steps (exit_chunk not
-        # dividing max_iteration): they must be no-ops for every swarm
+        # defensive invariant: no step index past max_iteration may move
+        # state (the chunked path slices its/rand_all within bounds, so
+        # this is always true today — kept so a future scheduling change
+        # cannot silently run extra live steps)
         active = ~done & active0 & (it < max_iteration)
 
         rp = pw * r4[0][..., None]

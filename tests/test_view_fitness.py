@@ -319,3 +319,68 @@ def test_expand_distributed_view_sharded(setup4):
     ag = cloud_agreement(pts_v, pts_f, half_cell)
     assert ag["engine_within_tol"] >= 0.9, ag
     assert ag["oracle_within_tol"] >= 0.9, ag
+
+
+def test_fitness_view_realistic_texture():
+    """View-sharded fitness parity on REAL photographic texture (the
+    pawn-rig photo scene) — the synthetic value-noise scenes hide whole
+    precision/warp-clipping error classes (CLAUDE.md; the round-2 bf16
+    bug was invisible to them). The 5-camera rig is prime, so this runs
+    vp=5 (one camera per shard — every cross-camera term crosses the
+    view axis) on a (1, 5) mesh, Pallas sampler in precise-f32 interpret
+    mode vs the flat jnp reference."""
+    from pais_mvs_tpu.data.realistic import make_realistic_scene
+    rsc = make_realistic_scene(num_seeds=16, seed=0)
+    cfg = MvsConfig(patch_radius=6, max_lod=4, particle_num=8,
+                    max_iteration=12, dist_weighting=2.0, cell_size=12,
+                    min_cam_num=3, batch_size=16)
+    scene = build_scene(rsc.params, rsc.images, cfg)
+    C = scene.rig.num_cameras
+    assert C == 5
+    B, Pn = 8, 9
+    centers = rsc.seed_centers[:B].astype(np.float32)
+    ref = np.full(B, 2, dtype=np.int32)
+    rays = centers - np.asarray(scene.rig.center)[ref]
+    depths = np.linalg.norm(rays, axis=-1)
+    rays = (rays / depths[:, None]).astype(np.float32)
+    n0 = np.asarray(geom.estimated_normal(
+        jnp.asarray(centers), scene.rig.center[None].repeat(B, 0),
+        jnp.asarray(rsc.seed_cam_masks[:B])))
+    sph = np.asarray(geom.normal_to_spherical(jnp.asarray(n0)))
+    rng = np.random.default_rng(1)
+    pos = np.stack([
+        sph[:, 0:1] + rng.normal(scale=0.2, size=(B, Pn)),
+        sph[:, 1:2] + rng.normal(scale=0.3, size=(B, Pn)),
+        depths[:, None] + rng.uniform(-0.02, 0.02, size=(B, Pn)),
+    ], -1).astype(np.float32)
+    cm = jnp.asarray(rsc.seed_cam_masks[:B])
+    lod = jnp.zeros(B, dtype=jnp.int32)
+
+    flat = np.asarray(F.patch_fitness(scene, cfg, jnp.asarray(ref), cm,
+                                      lod, jnp.asarray(rays),
+                                      jnp.asarray(pos)))
+
+    c_local = 1
+    mesh = mesh_mod.make_mesh((1, 5), jax.devices()[:5])
+    rig_spec = jax.tree.map(lambda _: P(), scene.rig)
+
+    def body(rig, img, edg, dims, yo, ref_c, cmk, ld, ry, ps):
+        return VF.fitness_view_pallas(rig, img, edg, dims, yo, cfg,
+                                      c_local, ref_c, cmk, ld, ry, ps,
+                                      "view", precise=True, interpret=True)
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rig_spec, P("view"), P("view"), P(), P(),
+                  P("patch"), P("patch"), P("patch"), P("patch"),
+                  P("patch")),
+        out_specs=P("patch"), check_vma=False))
+    b = np.asarray(f(scene.rig, scene.pyramids.images, scene.pyramids.edges,
+                     scene.pyramids.dims, scene.pyramids.yoff,
+                     jnp.asarray(ref), cm, lod, jnp.asarray(rays),
+                     jnp.asarray(pos)))
+    big_a, big_b = flat >= 1e20, b >= 1e20
+    np.testing.assert_array_equal(big_a, big_b)
+    both = ~big_a
+    assert both.sum() > 20, both.sum()
+    np.testing.assert_allclose(b[both], flat[both], rtol=1e-4, atol=1e-4)

@@ -328,6 +328,9 @@ def fitness_view_pallas(rig: CameraRig, images_loc, edges_loc, dims_glob,
     return jnp.take_along_axis(fit, rank, axis=1)              # unsort
 
 
+_RADIUS_WARNED = set()
+
+
 def patch_fitness_view(scene: Scene, cfg: MvsConfig, ref_cam, cam_mask, lod,
                        ray, pos, axis: str, active=None,
                        interpret: bool = False):
@@ -338,12 +341,22 @@ def patch_fitness_view(scene: Scene, cfg: MvsConfig, ref_cam, cam_mask, lod,
     from pais_mvs_tpu.ops.pallas_fitness import STRETCH
     pyrs = scene.pyramids
     c_local = pyrs.images.shape[0]
-    if F.resolve_backend(cfg) == "pallas" and \
-            STRETCH * (2 * cfg.patch_radius + 1) <= 128:
-        return fitness_view_pallas(
-            scene.rig, pyrs.images, pyrs.edges, pyrs.dims, pyrs.yoff, cfg,
-            c_local, ref_cam, cam_mask, lod, ray, pos, axis, active=active,
-            precise=cfg.pallas_precise, interpret=interpret)
+    if F.resolve_backend(cfg) == "pallas":
+        if STRETCH * (2 * cfg.patch_radius + 1) <= 128:
+            return fitness_view_pallas(
+                scene.rig, pyrs.images, pyrs.edges, pyrs.dims, pyrs.yoff,
+                cfg, c_local, ref_cam, cam_mask, lod, ray, pos, axis,
+                active=active, precise=cfg.pallas_precise,
+                interpret=interpret)
+        # same loud fallback as the flat path (lifecycle._fitness_fn):
+        # the gather mirror inside shard_map on TPU is catastrophically
+        # slower, so a silent downgrade would read as a perf regression
+        if cfg.patch_radius not in _RADIUS_WARNED:
+            _RADIUS_WARNED.add(cfg.patch_radius)
+            print(f"pais_mvs_tpu: patchRadius {cfg.patch_radius} exceeds "
+                  f"the Pallas kernel's slice coverage; the view-sharded "
+                  f"path is using the exact jnp fitness (slower)",
+                  flush=True)
     return fitness_view_jnp(
         scene.rig, pyrs.images, pyrs.edges, pyrs.dims, pyrs.yoff, cfg,
         c_local, ref_cam, cam_mask, lod, ray, pos, axis)
